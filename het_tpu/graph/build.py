@@ -1,0 +1,243 @@
+"""Host-side (numpy) construction of :class:`HeteroGraph`.
+
+Replaces the reference's graph-preparation pipeline — COO/CSR conversion,
+etype/eid sorting, per-relation unique-node-index generation
+(hrt/python/utils/mydglgraph_converters.py:104-250,
+hrt/python/utils/coo_sorters.py, hrt/python/utils_lite/mydgl_graph_methods.py:11)
+— but targets the TPU layout: one canonical dst-sorted edge ordering plus
+tile-padded relation segments, built once on the host.
+
+A native C++ fast path for the heavy sorts lives in ``het_tpu.graph.native``
+(used automatically when built); numpy is the fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .structures import CompactInfo, HeteroGraph, Segments
+
+__all__ = ["build_segments", "build_heterograph", "round_up"]
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _i32(a) -> np.ndarray:
+    # Keep host-built arrays as numpy: they become device arrays on first
+    # jit call.  Eager jnp.asarray here would round-trip every array through
+    # the (possibly remote) accelerator at build time.
+    return np.ascontiguousarray(np.asarray(a, dtype=np.int32))
+
+
+def build_segments(
+    seg_of_row: np.ndarray, n_segments: int, tile: int
+) -> Segments:
+    """Group ``n_src`` source rows by segment id, padding each segment to a
+    multiple of ``tile`` rows so every row-tile is single-segment."""
+    seg_of_row = np.asarray(seg_of_row)
+    n_src = int(seg_of_row.shape[0])
+    order = np.argsort(seg_of_row, kind="stable").astype(np.int64)
+    counts = np.bincount(seg_of_row, minlength=n_segments).astype(np.int64)
+    padded = ((counts + tile - 1) // tile * tile) if tile > 1 else counts
+    seg_ptrs = np.zeros(n_segments + 1, dtype=np.int64)
+    np.cumsum(padded, out=seg_ptrs[1:])
+    n_rows = int(seg_ptrs[-1])
+
+    perm = np.zeros(n_rows, dtype=np.int64)
+    row_valid = np.zeros(n_rows, dtype=bool)
+    row_seg = np.zeros(n_rows, dtype=np.int64)
+    inv = np.zeros(n_src, dtype=np.int64)
+    src_ptr = np.zeros(n_segments + 1, dtype=np.int64)
+    np.cumsum(counts, out=src_ptr[1:])
+    for s in range(n_segments):
+        c = counts[s]
+        lo = seg_ptrs[s]
+        rows = order[src_ptr[s] : src_ptr[s + 1]]
+        perm[lo : lo + c] = rows
+        inv[rows] = np.arange(lo, lo + c)
+        row_valid[lo : lo + c] = True
+        row_seg[seg_ptrs[s] : seg_ptrs[s + 1]] = s
+
+    n_tiles = n_rows // tile if tile > 0 else 0
+    tile_seg = row_seg[:: tile][:n_tiles] if tile > 0 else row_seg[:0]
+
+    return Segments(
+        n_src=n_src,
+        n_rows=n_rows,
+        n_segments=n_segments,
+        tile=tile,
+        seg_ptrs=_i32(seg_ptrs),
+        tile_seg=_i32(tile_seg),
+        row_seg=_i32(row_seg),
+        perm=_i32(perm),
+        inv=_i32(inv),
+        row_valid=np.ascontiguousarray(row_valid),
+    )
+
+
+def _build_compact(
+    rel: np.ndarray,
+    node: np.ndarray,
+    num_nodes: int,
+    num_rels: int,
+    tile: int,
+    num_padded_edges: int,
+) -> CompactInfo:
+    """Unique (relation, node) pairs + direct-index edge map.
+
+    Reference semantics: per-relation ``torch.unique`` over the edge endpoint
+    slice plus inverse indices (hrt/python/utils_lite/mydgl_graph_methods.py:11
+    and kernel_enums.h direct-indexing kind)."""
+    key = rel.astype(np.int64) * np.int64(num_nodes) + node.astype(np.int64)
+    uniq, inverse = np.unique(key, return_inverse=True)
+    pair_rel = (uniq // num_nodes).astype(np.int64)
+    pair_node = (uniq % num_nodes).astype(np.int64)
+    seg = build_segments(pair_rel, num_rels, tile)
+    # node id per padded compact row
+    node_ids = np.zeros(seg.n_rows, dtype=np.int64)
+    node_ids[np.asarray(seg.inv)] = pair_node
+    # canonical edge -> padded compact row
+    edge_map = np.zeros(num_padded_edges, dtype=np.int64)
+    edge_map[: rel.shape[0]] = np.asarray(seg.inv)[inverse]
+    return CompactInfo(seg=seg, node_ids=_i32(node_ids), edge_map=_i32(edge_map))
+
+
+def build_heterograph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rel: np.ndarray,
+    num_nodes: int,
+    num_rels: Optional[int] = None,
+    *,
+    ntype_offsets: Optional[Sequence[int]] = None,
+    rel_names: Optional[Sequence[str]] = None,
+    tile: int = 128,
+    edge_pad: int = 128,
+    build_compact: bool = True,
+) -> HeteroGraph:
+    """Build a :class:`HeteroGraph` from COO arrays (any edge order).
+
+    ``tile`` controls relation-segment padding granularity (128 for MXU
+    production graphs; tests may use 8). ``edge_pad`` pads the canonical edge
+    arrays to a lane multiple with sentinel edges ``dst == num_nodes``.
+    """
+    src = np.asarray(src).astype(np.int64).ravel()
+    dst = np.asarray(dst).astype(np.int64).ravel()
+    rel = np.asarray(rel).astype(np.int64).ravel()
+    E = int(src.shape[0])
+    assert dst.shape[0] == E and rel.shape[0] == E
+    if num_rels is None:
+        num_rels = int(rel.max()) + 1 if E else 1
+    if E:
+        assert src.min() >= 0 and src.max() < num_nodes, "src out of range"
+        assert dst.min() >= 0 and dst.max() < num_nodes, "dst out of range"
+        assert rel.min() >= 0 and rel.max() < num_rels, "rel out of range"
+    assert num_nodes < 2**31 and E < 2**31, "int32 index overflow"
+
+    # canonical order: stable sort by (dst, rel, src)
+    order = np.lexsort((src, rel, dst))
+    c_src, c_dst, c_rel = src[order], dst[order], rel[order]
+    c_eid = order  # canonical position -> original edge id
+
+    EP = max(round_up(E, edge_pad), edge_pad)
+    pad = EP - E
+    p_src = np.concatenate([c_src, np.full(pad, num_nodes, dtype=np.int64)])
+    p_dst = np.concatenate([c_dst, np.full(pad, num_nodes, dtype=np.int64)])
+    p_rel = np.concatenate([c_rel, np.zeros(pad, dtype=np.int64)])
+    p_eid = np.concatenate([c_eid, np.zeros(pad, dtype=np.int64)])
+
+    in_deg = np.bincount(c_dst, minlength=num_nodes).astype(np.int64)
+    out_deg = np.bincount(c_src, minlength=num_nodes).astype(np.int64)
+    in_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(in_deg, out=in_row_ptr[1:])
+
+    # src-sorted permutation of canonical positions (for backward aggregation)
+    out_order = np.argsort(c_src, kind="stable").astype(np.int64)
+    out_perm = np.concatenate([out_order, np.full(pad, EP - 1 if pad else 0,
+                                                  dtype=np.int64)])
+    if pad:
+        # padding slots of out_perm must point at padding edges (sentinel dst)
+        out_perm[E:] = np.arange(E, EP)
+    out_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(out_deg, out=out_row_ptr[1:])
+
+    # Relation segments cover ALL padded edge slots (padding edges go to
+    # relation 0 but are marked invalid), so `inv` maps the full canonical
+    # edge space and per-edge results read back at shape (EP, ...).
+    edge_rel_seg = build_segments(p_rel, num_rels, tile)
+    erv = np.asarray(edge_rel_seg.row_valid) & (
+        p_src[np.asarray(edge_rel_seg.perm)] < num_nodes
+    )
+    edge_rel_seg = dataclasses.replace(
+        edge_rel_seg, row_valid=np.ascontiguousarray(erv)
+    )
+
+    if ntype_offsets is None:
+        ntype_offsets = (0, num_nodes)
+    ntype_offsets = tuple(int(o) for o in ntype_offsets)
+    num_ntypes = len(ntype_offsets) - 1
+    if num_ntypes > 1:
+        node_ntype = np.zeros(num_nodes, dtype=np.int64)
+        for t in range(num_ntypes):
+            node_ntype[ntype_offsets[t] : ntype_offsets[t + 1]] = t
+        ntype_seg = build_segments(node_ntype, num_ntypes, tile)
+    else:
+        ntype_seg = build_segments(
+            np.zeros(num_nodes, dtype=np.int64), 1, tile
+        )
+
+    compact_src = compact_dst = None
+    if build_compact:
+        compact_src = _build_compact(c_rel, c_src, num_nodes, num_rels, tile, EP)
+        compact_dst = _build_compact(c_rel, c_dst, num_nodes, num_rels, tile, EP)
+
+    if rel_names is None:
+        rel_names = tuple(f"rel{i}" for i in range(num_rels))
+
+    return HeteroGraph(
+        num_nodes=int(num_nodes),
+        num_edges=E,
+        num_padded_edges=EP,
+        num_rels=int(num_rels),
+        num_ntypes=num_ntypes,
+        ntype_offsets=ntype_offsets,
+        rel_names=tuple(rel_names),
+        src=_i32(p_src),
+        dst=_i32(p_dst),
+        rel=_i32(p_rel),
+        eid_orig=_i32(p_eid),
+        in_row_ptr=_i32(in_row_ptr),
+        edge_rel_seg=edge_rel_seg,
+        out_perm=_i32(out_perm),
+        out_row_ptr=_i32(out_row_ptr),
+        ntype_seg=ntype_seg,
+        compact_src=compact_src,
+        compact_dst=compact_dst,
+        in_deg=_i32(in_deg),
+        out_deg=_i32(out_deg),
+    )
+
+
+def reverse_heterograph(g: HeteroGraph, **kw) -> HeteroGraph:
+    """Graph with every edge reversed (reference ``transpose``,
+    hrt/python/utils/mydgl_graph.py:233). Rebuilds all derived structures."""
+    E = g.num_edges
+    src = np.asarray(g.dst)[:E]
+    dst = np.asarray(g.src)[:E]
+    rel = np.asarray(g.rel)[:E]
+    return build_heterograph(
+        src,
+        dst,
+        rel,
+        g.num_nodes,
+        g.num_rels,
+        ntype_offsets=g.ntype_offsets,
+        rel_names=g.rel_names,
+        tile=g.edge_rel_seg.tile,
+        **kw,
+    )

@@ -1,0 +1,223 @@
+"""Core graph containers: ``Segments`` and ``HeteroGraph`` pytrees.
+
+TPU-native replacement for the reference's ``MyDGLGraph`` nested-dict container
+(reference: hrt/python/utils/mydgl_graph.py:81) and its TorchScript twin
+(hrt/python/utils/scripted_mydgl_graph.py) — a frozen dataclass registered as
+a JAX pytree jits cleanly, so a single structure serves both roles.
+
+Design notes (TPU-first, not a translation):
+
+* **Canonical edge order is destination-sorted.** TPUs have no cheap atomics,
+  so every aggregation must be a *sorted* segment reduction.  The reference
+  instead keeps an "integrated CSR" + a relation-sorted "separate COO" and
+  scatter-adds with ``atomicAdd`` (hrt/include/DGLHackKernel/RGAT/
+  RGATKernelsSeparateCOO.cu.h:77,195).  Here, per-edge tensors live in
+  dst-sorted order; aggregation over destinations is a contiguous segment sum
+  (MXU one-hot reduction inside Pallas kernels, ``segment_sum`` in the XLA
+  fallback path).
+
+* **Relation-typed ragged rows become tile-padded segments.**  The MXU wants
+  128x128 tiles with static shapes; each relation's row segment is padded to a
+  multiple of ``tile`` so that every row-tile belongs to exactly one relation.
+  This plays the role of the reference's per-relation block scheduler
+  (hrt/include/DGLHackKernel/RGNN/mysgemm_KernelsBlockConfigurations.h:44) —
+  but resolved at graph-construction time on the host instead of per launch.
+
+* **Compact materialization is direct-indexed.**  The reference supports both
+  binary-search and precomputed-inverse-map resolution of (relation, node) ->
+  compact row (``CompactAsOfNodeKind`` in hrt/include/kernel_enums.h:6-14).
+  Precomputing the inverse map once on the host strictly dominates on TPU, so
+  only the direct-indexing form exists; it is built unconditionally.
+
+* **Edge padding uses a sentinel destination.** Canonical arrays are padded to
+  a lane multiple; padding edges carry ``dst == num_nodes`` and are dropped by
+  allocating ``num_nodes + 1`` segments and slicing, which keeps both forward
+  values and autodiff cotangents of padding lanes exactly zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclass(frozen=True)
+class Segments:
+    """A tile-padded, segment-partitioned row space.
+
+    Generic over what a "segment" is: relations (edge-wise typed ops), node
+    types (per-ntype linears, replacing the reference's
+    ``rgnn_relational_matmul_no_scatter_gather_list`` row segmentation —
+    hrt/include/DGLHackKernel/OpExport/RGNNOps.inc.h:744), or relations over
+    unique-(rel, node) compact rows.
+
+    ``n_rows`` is the padded total; every segment occupies
+    ``seg_ptrs[s]:seg_ptrs[s+1]`` which is a multiple of ``tile`` long, so
+    row-tile ``t`` is entirely inside segment ``tile_seg[t]``.
+    """
+
+    # -- static metadata --
+    n_src: int  # number of real (unpadded) source rows
+    n_rows: int  # padded total rows
+    n_segments: int
+    tile: int
+
+    # -- arrays (all int32 except row_valid) --
+    seg_ptrs: Array  # (n_segments + 1,) padded row offsets per segment
+    tile_seg: Array  # (n_rows // tile,) segment id per row-tile
+    row_seg: Array  # (n_rows,) segment id per padded row
+    perm: Array  # (n_rows,) source-row index per padded row (0 on padding)
+    inv: Array  # (n_src,) source row -> padded row
+    row_valid: Array  # (n_rows,) bool, False on padding rows
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_rows // self.tile if self.tile else 0
+
+    def gather(self, x: Array) -> Array:
+        """Arrange source rows into the padded segment space."""
+        return jnp.take(x, self.perm, axis=0)
+
+    def scatter_back(self, y: Array) -> Array:
+        """Read padded-space rows back into source-row order."""
+        return jnp.take(y, self.inv, axis=0)
+
+
+_register(
+    Segments,
+    data_fields=("seg_ptrs", "tile_seg", "row_seg", "perm", "inv", "row_valid"),
+    meta_fields=("n_src", "n_rows", "n_segments", "tile"),
+)
+
+
+@dataclass(frozen=True)
+class CompactInfo:
+    """Unique-(relation, node) compact materialization metadata.
+
+    Implements Hector's compact materialization (reference flag
+    ``--compact_as_of_node_flag``, hrt/python/RGNNUtils/RGNNUtils.py:670) in
+    its direct-indexing form: ``edge_map`` maps each canonical edge to the
+    padded compact row of its (relation, endpoint-node) pair — the analogue of
+    ``edata_idx_to_inverse_idx`` in hrt/include/kernel_enums.h:100-119.
+    """
+
+    seg: Segments  # unique (rel, node) pairs grouped by relation
+    node_ids: Array  # (seg.n_rows,) node id per padded compact row
+    edge_map: Array  # (num_padded_edges,) canonical edge -> padded compact row
+
+
+_register(CompactInfo, data_fields=("seg", "node_ids", "edge_map"), meta_fields=())
+
+
+@dataclass(frozen=True)
+class HeteroGraph:
+    """Relation-partitioned heterogeneous graph, canonical dst-sorted order.
+
+    All per-edge tensors in the framework are indexed by *canonical edge
+    position*: edges stably sorted by (dst, rel, src), padded to
+    ``num_padded_edges`` with sentinel edges (``dst == num_nodes``).
+    """
+
+    # -- static metadata --
+    num_nodes: int
+    num_edges: int  # real edges
+    num_padded_edges: int
+    num_rels: int
+    num_ntypes: int
+    ntype_offsets: Tuple[int, ...]  # length num_ntypes + 1
+    rel_names: Tuple[str, ...]
+
+    # -- canonical (dst-sorted) edge arrays, padded, int32 --
+    src: Array  # (EP,)
+    dst: Array  # (EP,)  == num_nodes on padding
+    rel: Array  # (EP,)
+    eid_orig: Array  # (EP,) original dataset edge id (input order)
+    in_row_ptr: Array  # (num_nodes + 1,) CSR over dst in canonical order
+
+    # -- relation-sorted view for segment matmul (separate-COO analogue,
+    #    reference hrt/python/utils/mydgl_graph.py:631-733) --
+    edge_rel_seg: Segments
+
+    # -- src-sorted permutation for backward-pass aggregation over sources --
+    out_perm: Array  # (EP,) canonical positions sorted by src
+    out_row_ptr: Array  # (num_nodes + 1,)
+
+    # -- node-type segments (for per-ntype linears; None if single ntype) --
+    ntype_seg: Optional[Segments]
+
+    # -- compact materialization, single-sided (reference
+    #    generate_separate_unique_node_indices_single_sided_for_each_etype,
+    #    hrt/python/utils/mydgl_graph.py:826-885) --
+    compact_src: Optional[CompactInfo]
+    compact_dst: Optional[CompactInfo]
+
+    # -- degrees --
+    in_deg: Array  # (num_nodes,) int32 over real edges
+    out_deg: Array  # (num_nodes,) int32
+
+    @property
+    def edge_valid(self) -> Array:
+        """(EP,) bool mask of real (non-padding) edges."""
+        return self.dst < jnp.int32(self.num_nodes)
+
+    def edge_mask(self, x: Array, fill=0) -> Array:
+        """Zero (or ``fill``) padding-edge rows of a per-edge tensor."""
+        mask = self.edge_valid.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x, jnp.asarray(fill, dtype=x.dtype))
+
+    @property
+    def rel_per_mm_row(self) -> Array:
+        return self.edge_rel_seg.row_seg
+
+    def describe(self) -> str:
+        return (
+            f"HeteroGraph(nodes={self.num_nodes}, edges={self.num_edges}"
+            f" (padded {self.num_padded_edges}), rels={self.num_rels},"
+            f" ntypes={self.num_ntypes})"
+        )
+
+
+_register(
+    HeteroGraph,
+    data_fields=(
+        "src",
+        "dst",
+        "rel",
+        "eid_orig",
+        "in_row_ptr",
+        "edge_rel_seg",
+        "out_perm",
+        "out_row_ptr",
+        "ntype_seg",
+        "compact_src",
+        "compact_dst",
+        "in_deg",
+        "out_deg",
+    ),
+    meta_fields=(
+        "num_nodes",
+        "num_edges",
+        "num_padded_edges",
+        "num_rels",
+        "num_ntypes",
+        "ntype_offsets",
+        "rel_names",
+    ),
+)
+
+
+def replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)

@@ -1,0 +1,49 @@
+"""Differentiable graph ops — the layer the reference exposes as
+``hrt/python/backend`` autograd wrappers over ``torch.ops.torch_hrt``.
+
+Here ops are plain functional JAX: XLA implementations in ``linear``/``spmm``
+(fully autodiff-able), Pallas TPU kernels in ``pallas/`` wired in behind the
+same signatures via ``jax.custom_vjp``. Select with ``set_backend``/
+``use_pallas``.
+"""
+
+from .common import (  # noqa: F401
+    gather_dst,
+    gather_nodes,
+    gather_src,
+    scatter_sum_dst,
+    scatter_sum_nodes,
+    scatter_sum_src,
+)
+from .linear import (  # noqa: F401
+    compact_typed_linear,
+    edge_typed_linear,
+    expand_compact,
+    ntype_linear,
+    segment_matmul_rows,
+    typed_linear,
+)
+from .spmm import (  # noqa: F401
+    edge_softmax,
+    hgt_edge_softmax,
+    hgt_softmax_weighted_agg,
+    inner_product_edge_node,
+    relational_fused_gat,
+    rgcn_aggregate,
+    rgcn_layer0,
+    rgcn_layer1,
+    rgcn_norm,
+)
+
+_BACKEND = "xla"
+
+
+def set_backend(name: str) -> None:
+    """Select the op backend: 'xla' (portable) or 'pallas' (TPU kernels)."""
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND

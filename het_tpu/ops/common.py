@@ -1,0 +1,76 @@
+"""Shared gather/scatter primitives over the canonical edge layout.
+
+These encode the padding/sentinel discipline once so every op above them is
+provably clean at the pad boundary:
+
+* node gathers accept sentinel index ``num_nodes`` (padding edges) and return
+  a zero row for it;
+* node scatters allocate ``num_nodes + 1`` segments so sentinel-indexed
+  updates land in a discard row — the TPU-native replacement for the
+  reference's out-of-bounds-free atomicAdd scatters.
+
+Both directions are exact transposes of each other, so JAX autodiff through
+them keeps padding cotangents at exactly zero.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def pad_zero_row(x: Array) -> Array:
+    """Append one all-zero row along axis 0."""
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def gather_nodes(x: Array, idx: Array) -> Array:
+    """``x[idx]`` where ``idx`` may contain the sentinel ``x.shape[0]``
+    (returns zeros there)."""
+    return jnp.take(pad_zero_row(x), idx, axis=0)
+
+
+def scatter_sum_nodes(
+    vals: Array, idx: Array, num_nodes: int, *, indices_are_sorted: bool = False
+) -> Array:
+    """Segment-sum ``vals`` rows into ``num_nodes`` rows by ``idx``;
+    sentinel-indexed rows are dropped."""
+    out = jax.ops.segment_sum(
+        vals,
+        idx,
+        num_segments=num_nodes + 1,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return out[:num_nodes]
+
+
+def gather_dst(g, node_vals: Array) -> Array:
+    return gather_nodes(node_vals, g.dst)
+
+
+def gather_src(g, node_vals: Array) -> Array:
+    return gather_nodes(node_vals, g.src)
+
+
+def scatter_sum_dst(g, edge_vals: Array) -> Array:
+    """Sum per-edge rows into destination nodes. Canonical order is
+    dst-sorted, so this is a sorted segment reduction (no atomics)."""
+    return scatter_sum_nodes(
+        edge_vals, g.dst, g.num_nodes, indices_are_sorted=True
+    )
+
+
+def scatter_sum_src(g, edge_vals: Array) -> Array:
+    """Sum per-edge rows into source nodes via the precomputed src-sorted
+    permutation (``g.out_perm``), again a sorted reduction."""
+    vals_p = jnp.take(edge_vals, g.out_perm, axis=0)
+    idx_p = jnp.take(g.src, g.out_perm, axis=0)
+    return scatter_sum_nodes(vals_p, idx_p, g.num_nodes, indices_are_sorted=True)
+
+
+def safe_div(num: Array, den: Array) -> Array:
+    """``num / den`` with 0 where ``den == 0`` (padding lanes)."""
+    den_ok = jnp.where(den != 0, den, jnp.ones_like(den))
+    return jnp.where(den != 0, num / den_ok, jnp.zeros_like(num))

@@ -1,0 +1,136 @@
+"""Relation/type-typed segment matmul — the framework's workhorse op.
+
+TPU-native replacement for the reference's gather-GEMM-scatter template
+``_basic_MatMulKernel`` (hrt/include/DGLHackKernel/RGNN/
+my_shmem_sgemm_func.cu.h:14-35) and its torch export
+``rgnn_relational_matmul`` / ``rgnn_relational_matmul_no_scatter_gather_list``
+(hrt/include/DGLHackKernel/OpExport/RGNNOps.inc.h:93-238,744).
+
+One core serves every variant, exactly like the reference's single template:
+
+* per-edge typed linear (gather rows by edge src/dst),
+* compact typed linear (rows = unique (relation, node) pairs),
+* per-node-type linear (rows = nodes grouped by ntype; HGT k/q/v/a),
+
+because each is just a :class:`~het_tpu.graph.Segments` row space plus a
+row -> feature-row index map.  Relation raggedness is resolved at graph-build
+time into tile-aligned segments, so the compute is a clean batched MXU matmul
+with per-tile weight selection — the role the per-relation block scheduler
+(mysgemm_KernelsBlockConfigurations.h:44-148) plays on GPU.
+
+The XLA path below is the reference implementation and CPU/interpret oracle;
+the Pallas kernel (het_tpu/ops/pallas/segment_mm.py) avoids materializing
+per-tile weight gathers by scalar-prefetching ``tile_seg``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.structures import HeteroGraph, Segments
+from .common import gather_nodes
+
+Array = jax.Array
+
+
+def segment_matmul_rows(
+    x_rows: Array, w: Array, seg: Segments, *, accum_dtype=jnp.float32
+) -> Array:
+    """Multiply padded segment rows by their segment's weight.
+
+    x_rows: (n_rows, K) or (n_rows, H, K); w: (S, H, K, O) -> (n_rows, H, O).
+    """
+    S, H, K, O = w.shape
+    nt, T = seg.n_tiles, seg.tile
+    wt = jnp.take(w, seg.tile_seg, axis=0)  # (nt, H, K, O)
+    if x_rows.ndim == 2:
+        xt = x_rows.reshape(nt, T, K)
+        y = jnp.einsum(
+            "tbk,thko->tbho", xt, wt, preferred_element_type=accum_dtype
+        )
+    else:
+        assert x_rows.shape[1] == H or x_rows.shape[1] == 1
+        xt = x_rows.reshape(nt, T, x_rows.shape[1], K)
+        y = jnp.einsum(
+            "tbhk,thko->tbho", xt, wt, preferred_element_type=accum_dtype
+        )
+    return y.reshape(seg.n_rows, H, O).astype(x_rows.dtype)
+
+
+def typed_linear(
+    x: Array, w: Array, seg: Segments, row_idx: Optional[Array] = None
+) -> Array:
+    """Gather feature rows into the padded segment space and apply the
+    per-segment weight. Returns (n_rows, H, O); read back per-source-row
+    results with ``seg.scatter_back``.
+
+    ``row_idx`` maps padded rows to rows of ``x`` (sentinel ``x.shape[0]``
+    allowed -> zero row). Defaults to the segment permutation itself (source
+    rows of the segment space index ``x`` directly, e.g. ntype/compact)."""
+    if row_idx is None:
+        row_idx = jnp.where(
+            seg.row_valid, seg.perm, jnp.int32(x.shape[0])
+        )
+    x_rows = gather_nodes(x, row_idx)
+    return segment_matmul_rows(x_rows, w, seg)
+
+
+def _edge_row_idx(g: HeteroGraph, side: str) -> Array:
+    idx = g.src if side == "src" else g.dst
+    seg = g.edge_rel_seg
+    return jnp.where(
+        seg.row_valid, jnp.take(idx, seg.perm), jnp.int32(g.num_nodes)
+    )
+
+
+def edge_typed_linear(
+    g: HeteroGraph, x: Array, w: Array, side: str = "src"
+) -> Array:
+    """Per-edge typed linear: y_e = x[side(e)] @ W[rel(e)].
+
+    Returns (num_padded_edges, H, O) in canonical (dst-sorted) edge order;
+    padding edges are exactly zero.  Reference: ``rgnn_relational_matmul``
+    with separate-COO gather lists (RGNNOps.inc.h:93-238)."""
+    rows = typed_linear(x, w, g.edge_rel_seg, _edge_row_idx(g, side))
+    return g.edge_rel_seg.scatter_back(rows)
+
+
+def compact_typed_linear(
+    g: HeteroGraph, x: Array, w: Array, side: str = "src"
+) -> Array:
+    """Compact-materialized typed linear over unique (relation, node) rows.
+
+    Returns (compact_n_rows, H, O) in padded compact space.  Implements
+    Hector's compact materialization (reference kind=Enabled/DirectIndexing,
+    RGNNOps.inc.h:238 + kernel_enums.h:27-47): the matmul runs once per
+    unique (rel, node) instead of once per edge."""
+    info = g.compact_src if side == "src" else g.compact_dst
+    assert info is not None, "graph built without compact indices"
+    seg = info.seg
+    row_idx = jnp.where(seg.row_valid, info.node_ids, jnp.int32(g.num_nodes))
+    return typed_linear(x, w, seg, row_idx)
+
+
+def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
+    """Expand compact (rel, node) rows to per-edge canonical order.
+
+    Reference: ``rgnn_gather_compact_to_non_compact``
+    (RGNNOps.inc.h:446-560). Padding edges get row 0's value; mask downstream
+    where it matters (aggregations drop padding lanes by construction)."""
+    info = g.compact_src if side == "src" else g.compact_dst
+    assert info is not None
+    return jnp.take(c, info.edge_map, axis=0)
+
+
+def ntype_linear(g: HeteroGraph, x: Array, w: Array) -> Array:
+    """Per-node-type linear: y_n = x[n] @ W[ntype(n)], returned at node rows.
+
+    Reference: ``rgnn_relational_matmul_no_scatter_gather_list``
+    (RGNNOps.inc.h:744; used for HGT k/q/v/a projections)."""
+    assert g.ntype_seg is not None
+    rows = typed_linear(x, w, g.ntype_seg)
+    return g.ntype_seg.scatter_back(rows)

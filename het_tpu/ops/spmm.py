@@ -1,0 +1,180 @@
+"""Message-passing ops: SDDMM inner products, fused relational edge softmax +
+aggregation (RGAT/GAT), HGT typed edge softmax + weighted aggregation, RGCN
+normalized aggregation.
+
+TPU-native replacements for the reference kernel families:
+
+* inner product — hrt/include/DGLHackKernel/RGNN/InnerProduct.cu.h:7-50,
+  InnerProductEdgeParallel.cu.h (op ``rgnn_inner_product_right_node``).
+* fused GAT — RGAT/RGATKernelsSeparateCOO.cu.h:17-215 (ExpLeakyReluSum +
+  SumProdZipDiv stages) and GAT/FusedGAT.cu.h.
+* HGT softmax/aggregation — HGT/HGTForwardKernels.cu.h:51,247,428.
+* RGCN — RGCN/SeastarRGCNKernels.cu.h:60-236, RGCNKernelsEdgeParallel.cu.h.
+
+Where the reference resolves the scatter with atomicAdd, these use the
+canonical dst-sorted edge order + sorted segment reductions (see
+het_tpu/ops/common.py).  Everything here is plain differentiable jnp — the
+XLA fusion engine handles elementwise fusion; Pallas kernels (ops/pallas/)
+replace the hot paths behind the same signatures via ``jax.custom_vjp``.
+
+Note on numerics: the reference computes raw ``exp`` with no max-subtraction
+(RGATKernelsSeparateCOO.cu.h, HGTForwardKernels.cu.h).  We keep that default
+for activation parity, with an optional ``stable=True`` max-subtracted form
+(per-destination max via segment-max) for bf16/production use.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.structures import HeteroGraph
+from .common import (
+    gather_dst,
+    gather_nodes,
+    gather_src,
+    safe_div,
+    scatter_sum_dst,
+)
+
+Array = jax.Array
+
+
+def _segment_max_dst(g: HeteroGraph, edge_vals: Array) -> Array:
+    out = jax.ops.segment_max(
+        edge_vals,
+        g.dst,
+        num_segments=g.num_nodes + 1,
+        indices_are_sorted=True,
+    )
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+    return out[: g.num_nodes]
+
+
+def inner_product_edge_node(
+    g: HeteroGraph, left_e: Array, right: Array, side: str = "dst"
+) -> Array:
+    """score_e[h] = <left_e[h, :], right[side(e), h, :]> — the SDDMM step.
+
+    ``left_e``: (EP, H, D) per-edge; ``right``: (N, H, D) per-node.
+    Reference: ``rgnn_inner_product_right_node_separatecoo``
+    (RGNNOps.inc.h:609)."""
+    r_e = gather_nodes(right, g.dst if side == "dst" else g.src)
+    return jnp.sum(left_e * r_e, axis=-1)
+
+
+def edge_softmax(
+    g: HeteroGraph, logits: Array, *, stable: bool = False
+) -> Array:
+    """Per-destination softmax over incoming edges: (EP, H) -> (EP, H).
+
+    Padding lanes come out exactly 0."""
+    if stable:
+        m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
+        logits = logits - gather_dst(g, m)
+    e = g.edge_mask(jnp.exp(logits))
+    s = scatter_sum_dst(g, e)
+    return safe_div(e, gather_dst(g, s))
+
+
+def relational_fused_gat(
+    g: HeteroGraph,
+    feat_src_e: Array,
+    el_e: Array,
+    er_e: Array,
+    slope: float,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Fused relational GAT: edge softmax of leaky_relu(el+er) + weighted
+    aggregation of per-edge source features into destinations.
+
+    feat_src_e: (EP, H, D) canonical order; el_e/er_e: (EP, H).
+    Returns (N, H, D).  Reference two-stage kernels
+    ``gatExpLeakyReluSumKernel`` + ``gatSumProdZipDivKernel``
+    (RGATKernelsSeparateCOO.cu.h:17-215).  [The reference's python oracle
+    divides by the *source* running sum (ref_rgat.py:30) which contradicts
+    its own backward and the CUDA kernels; we normalize by destination.]"""
+    logits = jax.nn.leaky_relu(el_e + er_e, negative_slope=slope)
+    alpha = edge_softmax(g, logits, stable=stable)  # (EP, H)
+    return scatter_sum_dst(g, feat_src_e * alpha[..., None])
+
+
+def hgt_edge_softmax(
+    g: HeteroGraph, score_e: Array, mu: Array, *, stable: bool = False
+) -> Array:
+    """HGT typed edge softmax: softmax_dst(score_e * mu[rel_e]).
+
+    ``mu`` is relation_pri / sqrt(d_k), shape (R, H); score_e (EP, H).
+    Reference: ``HET_HGTEdgeSoftmaxAccumStageOnlyKernel``
+    (HGTForwardKernels.cu.h:428)."""
+    mu_e = jnp.take(mu, g.rel, axis=0)  # (EP, H); padding rel=0 harmless
+    return edge_softmax(g, score_e * mu_e, stable=stable)
+
+
+def hgt_softmax_weighted_agg(
+    g: HeteroGraph,
+    message_e: Array,
+    score_e: Array,
+    mu: Array,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Fused HGT edge softmax + attention-weighted message aggregation.
+
+    message_e: (EP, H, D); returns (N, H, D).  Reference:
+    edge_softmax_ops + message_mean_aggregation (HGTOps.inc.h:660-662,
+    HGTForwardKernels.cu.h:51,247) and the fused COO variant
+    (HGTOpsEdgeParallel.inc.h:391)."""
+    alpha = hgt_edge_softmax(g, score_e, mu, stable=stable)
+    return scatter_sum_dst(g, message_e * alpha[..., None])
+
+
+def rgcn_norm(g: HeteroGraph, kind: str = "in_degree") -> Array:
+    """Per-edge normalization constants, canonical order (EP,).
+
+    ``in_degree``: 1/|in(dst)| over all relations (DGL 'right' norm, the
+    reference's default norm input to seastar_rgcn_layer1)."""
+    if kind == "in_degree":
+        deg = jnp.maximum(g.in_deg, 1).astype(jnp.float32)
+        inv = 1.0 / deg
+        return g.edge_mask(gather_dst(g, inv))
+    raise ValueError(kind)
+
+
+def rgcn_aggregate(g: HeteroGraph, feat_e: Array, norm_e: Array) -> Array:
+    """ret[dst] = sum_e feat_e * norm_e — normalized sum into destinations.
+
+    Reference: rgcn_node_mean_aggregation / Layer1 accumulation
+    (RGCNOps.inc.h:678, ref_rgcn.py:6-23)."""
+    extra = (1,) * (feat_e.ndim - norm_e.ndim)
+    return scatter_sum_dst(g, feat_e * norm_e.reshape(norm_e.shape + extra))
+
+
+def rgcn_layer1(
+    g: HeteroGraph, x: Array, w: Array, norm_e: Array
+) -> Array:
+    """ret[dst] = sum_e norm_e * (x[src] @ W[rel]).  w: (R, in, out).
+
+    Reference: ``rgcn_layer1_separate_coo`` (RGCNOps.inc.h:678,
+    RGCNKernelsEdgeParallel.cu.h) — edge-parallel typed linear + normalized
+    aggregation."""
+    from .linear import edge_typed_linear
+
+    feat_e = edge_typed_linear(g, x, w[:, None, :, :], side="src")  # (EP,1,O)
+    out = rgcn_aggregate(g, feat_e[:, 0, :], norm_e)
+    return out
+
+
+def rgcn_layer0(g: HeteroGraph, w: Array, norm_e: Array) -> Array:
+    """Featureless first layer: ret[dst] = sum_e norm_e * W[rel][src].
+
+    Input features are implicit one-hot node ids, so the typed linear
+    degenerates to a weight-row gather.  w: (R, N, out).
+    Reference: ``seastar_rgcn_layer0_csr``
+    (RGCN/SeastarRGCNKernels.cu.h:60, Layer0 variants)."""
+    feat_e = w[g.rel, jnp.minimum(g.src, g.num_nodes - 1)]  # (EP, out)
+    feat_e = g.edge_mask(feat_e)
+    return rgcn_aggregate(g, feat_e, norm_e)

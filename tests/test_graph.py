@@ -1,0 +1,141 @@
+"""HeteroGraph construction invariants + format converter tests.
+
+Replicates the reference's transpose-involution unit test
+(hrt/python/test/test_kernel_correctness.py:9-44) plus structural checks the
+TPU layout depends on."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from het_tpu.graph import build_heterograph, random_heterograph, reverse_heterograph
+from het_tpu.graph.convert import (
+    coo_to_csr,
+    csr_to_coo,
+    transpose_csr,
+)
+
+
+def _toy(seed=0, **kw):
+    return random_heterograph(
+        num_nodes=50, num_edges=300, num_rels=5, seed=seed, tile=8, **kw
+    )
+
+
+def test_canonical_order_and_padding():
+    g = _toy()
+    E, EP = g.num_edges, g.num_padded_edges
+    dst = np.asarray(g.dst)
+    assert np.all(np.diff(dst[:E]) >= 0), "canonical order must be dst-sorted"
+    assert np.all(dst[E:] == g.num_nodes), "padding edges carry sentinel dst"
+    assert np.all(np.asarray(g.src)[E:] == g.num_nodes)
+    # CSR over dst matches edge array
+    ptr = np.asarray(g.in_row_ptr)
+    for v in range(g.num_nodes):
+        seg = dst[ptr[v] : ptr[v + 1]]
+        assert np.all(seg == v)
+    assert ptr[-1] == E
+
+
+def test_edge_rel_segments_roundtrip():
+    g = _toy()
+    seg = g.edge_rel_seg
+    rel = np.asarray(g.rel)
+    perm, inv = np.asarray(seg.perm), np.asarray(seg.inv)
+    valid = np.asarray(seg.row_valid)
+    # every real edge appears exactly once and lands in its relation segment
+    assert inv.shape[0] == g.num_padded_edges
+    row_seg = np.asarray(seg.row_seg)
+    for e in range(g.num_edges):
+        r = inv[e]
+        assert perm[r] == e
+        assert valid[r]
+        assert row_seg[r] == rel[e]
+    # tile alignment: each tile single-segment
+    ts = np.asarray(seg.tile_seg)
+    for t in range(seg.n_tiles):
+        rows = row_seg[t * seg.tile : (t + 1) * seg.tile]
+        assert np.all(rows == ts[t])
+    # segment ptrs tile-aligned
+    assert np.all(np.asarray(seg.seg_ptrs) % seg.tile == 0)
+
+
+def test_compact_indices():
+    g = _toy()
+    E = g.num_edges
+    src, rel = np.asarray(g.src)[:E], np.asarray(g.rel)[:E]
+    info = g.compact_src
+    node_ids = np.asarray(info.node_ids)
+    emap = np.asarray(info.edge_map)
+    for e in range(E):
+        row = emap[e]
+        assert node_ids[row] == src[e]
+        assert np.asarray(info.seg.row_seg)[row] == rel[e]
+    # unique: no duplicate (rel, node) among valid compact rows
+    valid = np.asarray(info.seg.row_valid)
+    pairs = set()
+    for r in np.nonzero(valid)[0]:
+        key = (int(np.asarray(info.seg.row_seg)[r]), int(node_ids[r]))
+        assert key not in pairs
+        pairs.add(key)
+
+
+def test_out_perm_sorted_by_src():
+    g = _toy()
+    src = np.asarray(g.src)
+    op = np.asarray(g.out_perm)
+    s_sorted = src[op[: g.num_edges]]
+    assert np.all(np.diff(s_sorted) >= 0)
+    ptr = np.asarray(g.out_row_ptr)
+    assert ptr[-1] == g.num_edges
+
+
+def test_reverse_heterograph():
+    g = _toy()
+    gr = reverse_heterograph(g)
+    # multiset of (src,dst,rel) triples must swap
+    E = g.num_edges
+
+    def triples(gg, swap=False):
+        s = np.asarray(gg.src)[:E]
+        d = np.asarray(gg.dst)[:E]
+        r = np.asarray(gg.rel)[:E]
+        if swap:
+            s, d = d, s
+        return sorted(zip(s.tolist(), d.tolist(), r.tolist()))
+
+    assert triples(g) == triples(gr, swap=True)
+
+
+def test_transpose_csr_involution():
+    rng = np.random.default_rng(1)
+    N, E = 40, 200
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    eids = np.arange(E)
+    rels = rng.integers(0, 4, E)
+    ptr, c, packed = coo_to_csr(row, col, np.stack([eids, rels], 1), N)
+    t_ptr, t_col, t_eids, t_rels = transpose_csr(ptr, c, packed[:, 0], packed[:, 1], N)
+    b_ptr, b_col, b_eids, b_rels = transpose_csr(t_ptr, t_col, t_eids, t_rels, N)
+    # round-trip: compare canonical (row, col, eid, rel) sets
+    r0, c0 = csr_to_coo(ptr, c)
+    r1, c1 = csr_to_coo(b_ptr, b_col)
+    a = sorted(zip(r0, c0, packed[:, 0], packed[:, 1]))
+    b = sorted(zip(r1, c1, b_eids, b_rels))
+    assert a == b
+
+
+def test_ntype_segments():
+    g = random_heterograph(
+        num_nodes=60,
+        num_edges=200,
+        num_rels=3,
+        seed=2,
+        ntype_offsets=(0, 10, 35, 60),
+        tile=8,
+    )
+    seg = g.ntype_seg
+    inv = np.asarray(seg.inv)
+    row_seg = np.asarray(seg.row_seg)
+    for n in range(60):
+        t = 0 if n < 10 else (1 if n < 35 else 2)
+        assert row_seg[inv[n]] == t
