@@ -1,0 +1,2 @@
+from .config import TrainConfig, add_args, config_from_args  # noqa: F401
+from .driver import build_model, train  # noqa: F401

@@ -1,0 +1,92 @@
+"""Config / flag system.
+
+Dataclass-first with an argparse bridge that keeps the reference's flag
+names (hrt/python/RGNNUtils/RGNNUtils.py:575-679 ``add_generic_RGNN_args``
+plus per-model additions) so the reference's sweep scripts
+(hrt/utils/_do_all_cases.sh) port line-for-line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass
+class TrainConfig:
+    model: str = "RGAT"  # RGAT | HGT | RGCN | GAT
+    dataset: str = "aifb"
+    n_infeat: int = 64
+    num_classes: int = 8
+    num_heads: int = 1
+    num_layers: int = 1
+    hidden: int = 64
+    lr: float = 1e-2
+    num_epochs: int = 10
+    warmup_epochs: int = 5  # reference: 5 warm-up epochs w/ memory capture
+    dropout: float = 0.5
+    # Hector optimization flags (reference names in comments)
+    compact: bool = False  # --compact_as_of_node_flag
+    multiply_first: bool = False  # --multiply_among_weights_first_flag
+    # numerics / backend
+    dtype: str = "float32"  # float32 | bfloat16
+    backend: str = "xla"  # xla | pallas
+    # stable (max-subtracted) edge softmax by default for training; the raw
+    # exp of the reference kernels overflows f32 once logits exceed ~88
+    # (reference has the same hazard: RGATKernelsSeparateCOO.cu.h).
+    # Disable for bit-parity activation comparisons.
+    stable_softmax: bool = True
+    # dataset synth scale (1.0 = published size)
+    dataset_scale: float = 1.0
+    seed: int = 0
+    full_graph_training: bool = True
+    # logging
+    logfile_enabled: bool = False
+    logfilename: str = "metrics.json"
+    no_warm_up: bool = False
+    tile: int = 128
+
+
+def add_args(parser: argparse.ArgumentParser) -> None:
+    """Reference-compatible flag spellings."""
+    p = parser
+    p.add_argument("--model", type=str, default="RGAT")
+    p.add_argument("--dataset", "-d", type=str, default="aifb")
+    p.add_argument("--n_infeat", type=int, default=64)
+    p.add_argument("--num_classes", type=int, default=8)
+    p.add_argument("--num_heads", type=int, default=1)
+    p.add_argument("--num_layers", type=int, default=1)
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--num_epochs", "-e", type=int, default=10)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument(
+        "--compact_as_of_node_flag", action="store_true", dest="compact"
+    )
+    p.add_argument(
+        "--multiply_among_weights_first_flag",
+        action="store_true",
+        dest="multiply_first",
+    )
+    p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--backend", type=str, default="xla")
+    p.add_argument("--stable_softmax", action="store_true", default=True)
+    p.add_argument(
+        "--raw_softmax", action="store_false", dest="stable_softmax",
+        help="reference-parity raw exp edge softmax (overflow-prone)",
+    )
+    p.add_argument("--dataset_scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--full_graph_training", action="store_true", default=True)
+    p.add_argument("--logfile_enabled", action="store_true")
+    p.add_argument("--logfilename", type=str, default="metrics.json")
+    p.add_argument("--no_warm_up", action="store_true")
+    p.add_argument("--tile", type=int, default=128)
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    return TrainConfig(**kw)

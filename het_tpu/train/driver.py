@@ -1,0 +1,229 @@
+"""Unified training driver.
+
+Re-design of the reference ``HET_RGNN_train``
+(hrt/python/RGNNUtils/RGNNUtils.py:199-433): full-graph training loop with
+warm-up epochs, separately-timed forward/backward, log_softmax + NLL loss,
+Adam, and a JSON metrics dump with the reference's schema
+(RGNNUtils.py:389-431: dataset, mean_forward_time, mean_backward_time,
+mean_training_time over the last 3/4 of epochs, per-epoch lists, memory).
+
+TPU adaptations: CUDA events -> ``block_until_ready`` walltiming of separate
+jitted forward / train-step functions; memory from
+``device.memory_stats()`` where the backend exposes it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loaders import Dataset, load_dataset
+from ..graph.structures import HeteroGraph
+from ..models import GATModel, HGTModel, NodeEmbed, RGATModel, RGCNModel
+from .config import TrainConfig
+
+
+def _device_mem_mb() -> Optional[float]:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return stats["bytes_in_use"] / 1e6
+    except Exception:
+        pass
+    return None
+
+
+def build_model(cfg: TrainConfig, data: Dataset):
+    g = data.graph
+    ncls = data.num_classes
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.model.upper() == "RGAT":
+        return RGATModel(
+            in_feat=cfg.n_infeat,
+            hidden=cfg.hidden,
+            num_classes=ncls,
+            num_rels=g.num_rels,
+            num_heads=cfg.num_heads,
+            num_layers=max(cfg.num_layers, 1),
+            compact=cfg.compact,
+            multiply_first=cfg.multiply_first,
+            dropout=cfg.dropout,
+            stable_softmax=cfg.stable_softmax,
+            param_dtype=dt,
+        )
+    if cfg.model.upper() == "HGT":
+        return HGTModel(
+            in_dim=cfg.n_infeat,
+            hidden=cfg.hidden,
+            num_classes=ncls,
+            num_ntypes=g.num_ntypes,
+            num_rels=g.num_rels,
+            num_heads=cfg.num_heads,
+            num_layers=max(cfg.num_layers, 1),
+            dropout=cfg.dropout,
+            compact=cfg.compact,
+            stable_softmax=cfg.stable_softmax,
+            param_dtype=dt,
+        )
+    if cfg.model.upper() == "RGCN":
+        return RGCNModel(
+            num_nodes=g.num_nodes,
+            hidden=cfg.hidden,
+            num_classes=ncls,
+            num_rels=g.num_rels,
+            featureless=False,
+            in_feat=cfg.n_infeat,
+            compact=cfg.compact,
+            dropout=cfg.dropout,
+            param_dtype=dt,
+        )
+    if cfg.model.upper() == "GAT":
+        return GATModel(
+            in_feat=cfg.n_infeat,
+            hidden=cfg.hidden,
+            num_classes=ncls,
+            num_heads=cfg.num_heads,
+            num_layers=max(cfg.num_layers, 2),
+            param_dtype=dt,
+        )
+    raise ValueError(cfg.model)
+
+
+def train(
+    cfg: TrainConfig, data: Optional[Dataset] = None
+) -> Dict[str, Any]:
+    """Run full-graph training; returns the reference-schema metrics dict."""
+    if data is None:
+        data = load_dataset(
+            cfg.dataset,
+            scale=cfg.dataset_scale,
+            num_classes=cfg.num_classes,
+            seed=cfg.seed,
+            tile=cfg.tile,
+            build_compact=cfg.compact,
+        )
+    g = data.graph
+    key = jax.random.PRNGKey(cfg.seed)
+    k_embed, k_model, k_drop = jax.random.split(key, 3)
+
+    model = build_model(cfg, data)
+    embed = NodeEmbed(num_nodes=g.num_nodes, embed_dim=cfg.n_infeat)
+    e_params = embed.init(k_embed)
+    x0 = embed.apply(e_params)
+    m_params = model.init(k_model, g, x0)
+    params = {"embed": e_params, "model": m_params}
+
+    labels = jnp.asarray(data.labels, jnp.int32)
+    train_idx = jnp.asarray(data.train_idx, jnp.int32)
+    test_idx = jnp.asarray(data.test_idx, jnp.int32)
+
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    def forward(params, dropout_key):
+        x = embed.apply(params["embed"])
+        return model.apply(
+            params["model"], g, x, deterministic=False,
+            rngs={"dropout": dropout_key},
+        )
+
+    def loss_fn(params, dropout_key):
+        logits = forward(params, dropout_key)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take(logp, train_idx, axis=0)
+        ly = jnp.take(labels, train_idx, axis=0)
+        return -jnp.mean(jnp.take_along_axis(ll, ly[:, None], axis=1))
+
+    fwd_jit = jax.jit(forward)
+    loss_jit = jax.jit(loss_fn)
+
+    @jax.jit
+    def train_step(params, opt_state, dropout_key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, dropout_key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def accuracy(params, idx):
+        logits = forward(params, jax.random.PRNGKey(0))
+        pred = jnp.argmax(jnp.take(logits, idx, axis=0), axis=-1)
+        return jnp.mean((pred == jnp.take(labels, idx, axis=0)).astype(
+            jnp.float32))
+
+    mem_baseline = _device_mem_mb()
+
+    # warm-up (reference: 5 epochs with memory capture, RGNNUtils.py:228-266)
+    warmup = 0 if cfg.no_warm_up else cfg.warmup_epochs
+    for i in range(warmup):
+        k_drop, k = jax.random.split(k_drop)
+        params, opt_state, loss = train_step(params, opt_state, k)
+    jax.block_until_ready(params)
+    mem_peak = _device_mem_mb()
+
+    fwd_times, bwd_times, total_times, losses = [], [], [], []
+    for epoch in range(cfg.num_epochs):
+        k_drop, k1, k2 = jax.random.split(k_drop, 3)
+        t0 = time.perf_counter()
+        out = fwd_jit(params, k1)
+        jax.block_until_ready(out)
+        t_fwd = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state, k2)
+        jax.block_until_ready(loss)
+        t_total = time.perf_counter() - t0
+
+        fwd_times.append(t_fwd * 1e3)
+        bwd_times.append(max(t_total - t_fwd, 0.0) * 1e3)
+        total_times.append((t_total + t_fwd) * 1e3)
+        losses.append(float(loss))
+
+    # reference metric: mean over last 3/4 of epochs (RGNNUtils.py:364-384)
+    cut = len(fwd_times) // 4
+
+    def _mean(xs):
+        return float(np.mean(xs[cut:])) if xs else float("nan")
+
+    train_acc = float(accuracy(params, train_idx))
+    test_acc = float(accuracy(params, test_idx))
+
+    metrics = {
+        "dataset": data.name,
+        "model": cfg.model,
+        "mean_forward_time": _mean(fwd_times),
+        "mean_backward_time": _mean(bwd_times),
+        "mean_training_time": _mean(total_times),
+        "forward_time_list": fwd_times,
+        "backward_time_list": bwd_times,
+        "training_time_list": total_times,
+        "loss_list": losses,
+        "train_acc": train_acc,
+        "test_acc": test_acc,
+        "max_memory_usage (mb)": mem_peak,
+        "intermediate_memory_usage (mb)": (
+            (mem_peak - mem_baseline)
+            if (mem_peak is not None and mem_baseline is not None)
+            else None
+        ),
+        "num_nodes": g.num_nodes,
+        "num_edges": g.num_edges,
+        "num_rels": g.num_rels,
+        "flags": {
+            "compact": cfg.compact,
+            "multiply_first": cfg.multiply_first,
+            "dtype": cfg.dtype,
+            "backend": cfg.backend,
+        },
+        "synthetic_data": data.meta.get("synthetic", False),
+    }
+    if cfg.logfile_enabled:
+        with open(cfg.logfilename, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+    return metrics

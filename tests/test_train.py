@@ -1,0 +1,75 @@
+"""End-to-end training driver tests: loss decreases, accuracy learnable on
+planted-structure synthetic data, metrics schema matches the reference."""
+
+import numpy as np
+import pytest
+
+from het_tpu.data import load_dataset
+from het_tpu.train import TrainConfig, train
+
+
+@pytest.mark.parametrize("model", ["RGCN", "RGAT", "HGT"])
+def test_train_e2e(model):
+    cfg = TrainConfig(
+        model=model,
+        dataset="aifb",
+        dataset_scale=0.02,  # ~165 nodes, ~1.3k edges
+        n_infeat=16,
+        hidden=16,
+        num_heads=2,
+        num_layers=2 if model != "HGT" else 1,
+        num_classes=4,
+        num_epochs=30,
+        warmup_epochs=1,
+        dropout=0.0,
+        lr=5e-2,
+        tile=8,
+    )
+    m = train(cfg)
+    # schema keys (reference RGNNUtils.py:389-431)
+    for k in (
+        "dataset",
+        "mean_forward_time",
+        "mean_backward_time",
+        "mean_training_time",
+        "forward_time_list",
+        "backward_time_list",
+    ):
+        assert k in m
+    assert np.isfinite(m["loss_list"]).all()
+    # learnable: loss must drop substantially on planted labels
+    assert m["loss_list"][-1] < m["loss_list"][0] * 0.9
+    assert m["train_acc"] > 0.4
+
+
+def test_train_compact_flag():
+    cfg = TrainConfig(
+        model="RGAT",
+        dataset="mutag",
+        dataset_scale=0.01,
+        n_infeat=8,
+        hidden=8,
+        num_heads=1,
+        num_layers=1,
+        num_classes=3,
+        num_epochs=5,
+        warmup_epochs=0,
+        compact=True,
+        multiply_first=True,
+        dropout=0.0,
+        tile=8,
+    )
+    m = train(cfg)
+    assert np.isfinite(m["loss_list"]).all()
+    assert m["flags"]["compact"] and m["flags"]["multiply_first"]
+
+
+def test_dataset_loader_npy():
+    import os
+
+    if not os.path.isdir("/root/reference/hrt/data/ogbn_mag_0.1"):
+        pytest.skip("no npy shards")
+    d = load_dataset("mag", tile=128, build_compact=False)
+    assert not d.meta["synthetic"]
+    assert d.graph.num_edges == 345172
+    assert d.graph.num_rels == 6
