@@ -61,6 +61,18 @@ def segment_matmul_rows(
     return y.reshape(seg.n_rows, H, O).astype(x_rows.dtype)
 
 
+def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
+    """Backend-dispatching segment matmul (XLA tile-batched einsum or the
+    Pallas kernel set in ops/pallas/segment_mm.py)."""
+    from . import get_backend
+
+    if get_backend() == "pallas":
+        from .pallas.segment_mm import segment_matmul_rows_pallas
+
+        return segment_matmul_rows_pallas(x_rows, w, seg)
+    return segment_matmul_rows(x_rows, w, seg)
+
+
 def typed_linear(
     x: Array, w: Array, seg: Segments, row_idx: Optional[Array] = None
 ) -> Array:
@@ -76,7 +88,7 @@ def typed_linear(
             seg.row_valid, seg.perm, jnp.int32(x.shape[0])
         )
     x_rows = gather_nodes(x, row_idx)
-    return segment_matmul_rows(x_rows, w, seg)
+    return segment_matmul(x_rows, w, seg)
 
 
 def _edge_row_idx(g: HeteroGraph, side: str) -> Array:

@@ -1,0 +1,293 @@
+"""Pallas TPU kernels: relation-typed segment matmul (fwd, dX, dW).
+
+The TPU-native re-design of the reference's gather-GEMM-scatter CUDA
+template ``_basic_MatMulKernel`` (hrt/include/DGLHackKernel/RGNN/
+my_shmem_sgemm_func.cu.h:14-133) and its backward dX/dW split
+(RGNNOps.inc.h:756 ``_BackwardRelationalMatMul``):
+
+* Rows are pre-grouped into tile-aligned relation segments at graph build
+  (het_tpu/graph/build.py), so each row-tile belongs to exactly one
+  relation — the host-side analogue of the reference's per-relation block
+  scheduler (mysgemm_KernelsBlockConfigurations.h:44-148).
+* ``tile_seg`` (tile -> relation) is a **scalar-prefetch** argument; the
+  weight BlockSpec index_map reads it to stream exactly one (H, K, O)
+  weight block per tile from HBM — no per-tile weight gather is ever
+  materialized (the XLA fallback pays a (n_tiles, H, K, O) gather).
+* Heads live folded into the minor output dimension (Mosaic requires minor
+  block dims to be lane/sublane aligned); the kernel loops over heads with
+  a static Python loop, one MXU matmul each.
+* dW uses the sequential-grid revisit pattern: tiles of one relation are
+  consecutive, so the relation's (H, K, O) output block stays resident in
+  VMEM across its tiles and the kernel accumulates in place, initializing
+  on the segment's first tile — the role atomicAdd + ``OuterProductFlag``
+  play in the reference (my_shmem_sgemm_func.cu.h:109-183).
+
+All kernels run in interpret mode off-TPU, which is how the CPU test suite
+exercises them against the XLA path and the numpy oracles.
+
+Weight blocks are streamed whole per relation: H * K * O * itemsize must fit
+VMEM alongside the row tiles (true for every reference config).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...graph.structures import Segments
+
+Array = jax.Array
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _itemsize(x) -> int:
+    return np.dtype(x.dtype).itemsize
+
+
+def _fold_x(x_rows: Array) -> Tuple[Array, bool, int]:
+    """(n_rows, [H|1,] K) -> (n_rows, Hx*K) plus (was_3d, Hx)."""
+    if x_rows.ndim == 3:
+        n, hx, k = x_rows.shape
+        return x_rows.reshape(n, hx * k), True, hx
+    return x_rows, False, 1
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _make_fwd_kernel(H: int, Hx: int, K: int, O: int):
+    def kernel(tile_seg_ref, x_ref, w_ref, o_ref):
+        # x_ref: (T, Hx*K); w_ref: (1, H, K, O); o_ref: (T, H*O)
+        for h in range(H):
+            xh = x_ref[:, (h % Hx) * K : (h % Hx) * K + K] if Hx > 1 else (
+                x_ref[:, :K]
+            )
+            o_ref[:, h * O : (h + 1) * O] = jax.lax.dot_general(
+                xh,
+                w_ref[0, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def segment_matmul_rows_fwd(
+    x_rows: Array,
+    w: Array,
+    seg: Segments,
+    *,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """(n_rows, [H|1,] K) x (S, H, K, O) -> (n_rows, H, O)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    S, H, K, O = w.shape
+    T, nt = seg.tile, seg.n_tiles
+    assert x_rows.shape[0] == seg.n_rows
+    xf, x3, Hx = _fold_x(x_rows)
+    assert Hx in (1, H)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((T, Hx * K), lambda i, ts: (i, 0)),
+            pl.BlockSpec((1, H, K, O), lambda i, ts: (ts[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, H * O), lambda i, ts: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _make_fwd_kernel(H, Hx, K, O),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seg.n_rows * H * K * O,
+            bytes_accessed=(x_rows.size + w.size + seg.n_rows * H * O)
+            * _itemsize(x_rows),
+            transcendentals=0,
+        ),
+    )(jnp.asarray(seg.tile_seg), xf, w)
+    return out.reshape(seg.n_rows, H, O)
+
+
+# ---------------------------------------------------------------- dX
+
+
+def _make_dx_kernel(H: int, Hx: int, K: int, O: int):
+    reduce_heads = Hx == 1 and H > 1
+
+    def kernel(tile_seg_ref, ct_ref, wt_ref, o_ref):
+        # ct_ref: (T, H*O); wt_ref: (1, H, O, K); o_ref: (T, Hx*K)
+        if reduce_heads:
+            acc = jnp.zeros((ct_ref.shape[0], K), jnp.float32)
+            for h in range(H):
+                acc = acc + jax.lax.dot_general(
+                    ct_ref[:, h * O : (h + 1) * O],
+                    wt_ref[0, h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            o_ref[...] = acc.astype(o_ref.dtype)
+        else:
+            for h in range(H):
+                o_ref[:, h * K : (h + 1) * K] = jax.lax.dot_general(
+                    ct_ref[:, h * O : (h + 1) * O],
+                    wt_ref[0, h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def segment_matmul_rows_dx(
+    ct_rows: Array,
+    w: Array,
+    seg: Segments,
+    x3: bool,
+    x_heads: int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """d x_rows = ct[:, h, :] @ W[rel, h]^T, reduced over heads when the
+    forward input was head-broadcast."""
+    if interpret is None:
+        interpret = _interpret_default()
+    S, H, K, O = w.shape
+    T, nt = seg.tile, seg.n_tiles
+    # same host-side weight transpose as the reference backward
+    # (hrt/python/backend/rgnn_layers_and_funcs.py:64)
+    wt = jnp.swapaxes(w, 2, 3)  # (S, H, O, K)
+    Hx = x_heads if x3 else 1
+    out_cols = Hx * K if Hx > 1 else K
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((T, H * O), lambda i, ts: (i, 0)),
+            pl.BlockSpec((1, H, O, K), lambda i, ts: (ts[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, out_cols), lambda i, ts: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _make_dx_kernel(H, Hx, K, O),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
+        interpret=interpret,
+    )(jnp.asarray(seg.tile_seg), ct_rows.reshape(seg.n_rows, H * O), wt)
+    if x3:
+        return out.reshape(seg.n_rows, Hx, K)
+    return out
+
+
+# ---------------------------------------------------------------- dW
+
+
+def _make_dw_kernel(H: int, Hx: int, K: int, O: int):
+    def kernel(tile_seg_ref, first_ref, x_ref, ct_ref, o_ref):
+        # x_ref: (T, Hx*K); ct_ref: (T, H*O); o_ref: (1, H, K, O)
+        i = pl.program_id(0)
+        for h in range(H):
+            xh = x_ref[:, (h % Hx) * K : (h % Hx) * K + K] if Hx > 1 else (
+                x_ref[:, :K]
+            )
+            acc = jax.lax.dot_general(
+                xh,
+                ct_ref[:, h * O : (h + 1) * O],
+                dimension_numbers=(((0,), (0,)), ((), ())),  # x^T @ ct
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(first_ref[i] == 1)
+            def _():
+                o_ref[0, h] = acc.astype(o_ref.dtype)
+
+            @pl.when(first_ref[i] == 0)
+            def _():
+                o_ref[0, h] = o_ref[0, h] + acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def segment_matmul_rows_dw(
+    x_rows: Array,
+    ct_rows: Array,
+    w_shape,
+    seg: Segments,
+    *,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """dW[s, h] = sum over rows of segment s of x_row^T ct_row[h]."""
+    if interpret is None:
+        interpret = _interpret_default()
+    S, H, K, O = w_shape
+    T, nt = seg.tile, seg.n_tiles
+    xf, x3, Hx = _fold_x(x_rows)
+    ts = jnp.asarray(seg.tile_seg)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (ts[1:] != ts[:-1]).astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),  # tiles of a segment are consecutive -> safe revisit
+        in_specs=[
+            pl.BlockSpec((T, Hx * K), lambda i, ts, first: (i, 0)),
+            pl.BlockSpec((T, H * O), lambda i, ts, first: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, K, O), lambda i, ts, first: (ts[i], 0, 0, 0)
+        ),
+    )
+    return pl.pallas_call(
+        _make_dw_kernel(H, Hx, K, O),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, H, K, O), jnp.float32),
+        interpret=interpret,
+    )(ts, first, xf, ct_rows.reshape(seg.n_rows, H * O))
+
+
+# ------------------------------------------------------- custom_vjp wrapper
+
+
+def segment_matmul_rows_pallas(
+    x_rows: Array, w: Array, seg: Segments
+) -> Array:
+    """Differentiable Pallas segment matmul; drop-in replacement for the XLA
+    ``segment_matmul_rows`` (het_tpu/ops/linear.py).
+
+    ``seg`` is closed over (it carries unhashable index arrays, so it cannot
+    be a ``nondiff_argnums`` static)."""
+
+    @jax.custom_vjp
+    def f(x_rows, w):
+        return segment_matmul_rows_fwd(x_rows, w, seg)
+
+    def f_fwd(x_rows, w):
+        return segment_matmul_rows_fwd(x_rows, w, seg), (x_rows, w)
+
+    def f_bwd(res, ct):
+        x_rows, w = res
+        # padding rows contribute zero to dW because their x is exactly zero
+        # by construction (sentinel-index gathers), and zero to dx consumers
+        # because nothing reads padded rows back.
+        ct = ct.astype(x_rows.dtype)
+        x3 = x_rows.ndim == 3
+        hx = x_rows.shape[1] if x3 else 1
+        dx = segment_matmul_rows_dx(ct, w, seg, x3, hx)
+        dw = segment_matmul_rows_dw(x_rows, ct, w.shape, seg).astype(w.dtype)
+        return dx, dw
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x_rows, w)
