@@ -118,13 +118,16 @@ def build_heterograph(
     rel_names: Optional[Sequence[str]] = None,
     tile: int = 128,
     edge_pad: int = 128,
+    edge_extra: int = 1024,
     build_compact: bool = True,
 ) -> HeteroGraph:
     """Build a :class:`HeteroGraph` from COO arrays (any edge order).
 
     ``tile`` controls relation-segment padding granularity (128 for MXU
     production graphs; tests may use 8). ``edge_pad`` pads the canonical edge
-    arrays to a lane multiple with sentinel edges ``dst == num_nodes``.
+    arrays to a lane multiple with sentinel edges ``dst == num_nodes``;
+    ``edge_extra`` adds guard rows so Pallas chunked DMA (fixed chunk size up
+    to 1024 starting at any real-edge offset) never reads past the array.
     """
     src = np.asarray(src).astype(np.int64).ravel()
     dst = np.asarray(dst).astype(np.int64).ravel()
@@ -144,7 +147,7 @@ def build_heterograph(
     c_src, c_dst, c_rel = src[order], dst[order], rel[order]
     c_eid = order  # canonical position -> original edge id
 
-    EP = max(round_up(E, edge_pad), edge_pad)
+    EP = max(round_up(E, edge_pad), edge_pad) + round_up(edge_extra, edge_pad)
     pad = EP - E
     p_src = np.concatenate([c_src, np.full(pad, num_nodes, dtype=np.int64)])
     p_dst = np.concatenate([c_dst, np.full(pad, num_nodes, dtype=np.int64)])

@@ -56,7 +56,16 @@ def gather_src(g, node_vals: Array) -> Array:
 
 def scatter_sum_dst(g, edge_vals: Array) -> Array:
     """Sum per-edge rows into destination nodes. Canonical order is
-    dst-sorted, so this is a sorted segment reduction (no atomics)."""
+    dst-sorted, so this is a sorted segment reduction (no atomics).
+
+    Dispatches to the Pallas one-hot-MXU kernel when the pallas backend is
+    selected (XLA lowers sorted segment_sum to a slow serialized scatter)."""
+    from . import get_backend
+
+    if get_backend() == "pallas":
+        from .pallas.seg_reduce import seg_sum_dst_pallas
+
+        return seg_sum_dst_pallas(g, edge_vals)
     return scatter_sum_nodes(
         edge_vals, g.dst, g.num_nodes, indices_are_sorted=True
     )

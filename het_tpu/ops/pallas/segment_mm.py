@@ -60,6 +60,93 @@ def _fold_x(x_rows: Array) -> Tuple[Array, bool, int]:
     return x_rows, False, 1
 
 
+# A weight tensor at most this large stays VMEM-resident for the whole
+# kernel (the fast path); larger weights are streamed per relation tile.
+W_RESIDENT_BYTES = 4 * 1024 * 1024
+
+
+def _choose_block_rows(tile: int, n_rows: int, target: int = 1024) -> int:
+    """Super-block size: multiple of ``tile`` near ``target`` rows, to
+    amortize per-grid-step overhead over many MXU calls.  The sub-tile loop
+    is unrolled in the kernel, so cap it at 8 iterations."""
+    g = max(min(target, n_rows) // tile, 1)
+    return tile * min(g, 8)
+
+
+# ------------------------------------------------- forward (W-resident)
+
+
+def _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt):
+    def kernel(ts_ref, x_ref, w_ref, o_ref):
+        # x_ref: (G*T, Hx*K); o_ref: (G*T, H*O)
+        # w_ref: (S, K, H*O) head-folded when Hx == 1, else (S, H, K, O)
+        i = pl.program_id(0)
+        for j in range(G):
+            t = i * G + j
+
+            @pl.when(t < nt)
+            def _():
+                rel = ts_ref[jnp.minimum(t, nt - 1)]
+                rows = slice(j * T, (j + 1) * T)
+                if Hx == 1:
+                    # one MXU call computes every head: x @ W_cat[rel]
+                    o_ref[rows, :] = jax.lax.dot_general(
+                        x_ref[rows, :K],
+                        w_ref[rel],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(o_ref.dtype)
+                else:
+                    for h in range(H):
+                        o_ref[rows, h * O : (h + 1) * O] = jax.lax.dot_general(
+                            x_ref[rows, h * K : h * K + K],
+                            w_ref[rel, h],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _fwd_resident(x_rows, w, seg, interpret):
+    S, H, K, O = w.shape
+    T, nt = seg.tile, seg.n_tiles
+    xf, x3, Hx = _fold_x(x_rows)
+    BT = _choose_block_rows(T, seg.n_rows)
+    G = BT // T
+    n_super = pl.cdiv(nt, G)
+    if Hx == 1:
+        w_in = jnp.transpose(w, (0, 2, 1, 3)).reshape(S, K, H * O)
+        w_spec = pl.BlockSpec((S, K, H * O), lambda i, ts: (0, 0, 0))
+    else:
+        w_in = w
+        w_spec = pl.BlockSpec((S, H, K, O), lambda i, ts: (0, 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec((BT, Hx * K), lambda i, ts: (i, 0)),
+            w_spec,
+        ],
+        out_specs=pl.BlockSpec((BT, H * O), lambda i, ts: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seg.n_rows * H * K * O,
+            bytes_accessed=(x_rows.size + w.size + seg.n_rows * H * O)
+            * _itemsize(x_rows),
+            transcendentals=0,
+        ),
+    )(jnp.asarray(seg.tile_seg), xf, w_in)
+    return out.reshape(seg.n_rows, H, O)
+
+
 # ---------------------------------------------------------------- forward
 
 
@@ -75,6 +162,7 @@ def _make_fwd_kernel(H: int, Hx: int, K: int, O: int):
                 w_ref[0, h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(o_ref.dtype)
 
     return kernel
@@ -93,6 +181,8 @@ def segment_matmul_rows_fwd(
     S, H, K, O = w.shape
     T, nt = seg.tile, seg.n_tiles
     assert x_rows.shape[0] == seg.n_rows
+    if w.size * _itemsize(w) <= W_RESIDENT_BYTES:
+        return _fwd_resident(x_rows, w, seg, interpret)
     xf, x3, Hx = _fold_x(x_rows)
     assert Hx in (1, H)
 
@@ -120,6 +210,149 @@ def segment_matmul_rows_fwd(
     return out.reshape(seg.n_rows, H, O)
 
 
+# ------------------------------------------------- dX / dW (W-resident)
+
+
+def _make_dx_resident_kernel(H, Hx, K, O, T, G, nt):
+    def kernel(ts_ref, ct_ref, wt_ref, o_ref):
+        # Hx == 1: wt_ref is (S, H*O, K) head-folded — one MXU call does the
+        # head reduction.  Hx == H: per-head (S, H, O, K).
+        i = pl.program_id(0)
+        for j in range(G):
+            t = i * G + j
+
+            @pl.when(t < nt)
+            def _():
+                rel = ts_ref[jnp.minimum(t, nt - 1)]
+                rows = slice(j * T, (j + 1) * T)
+                if Hx == 1:
+                    o_ref[rows, :] = jax.lax.dot_general(
+                        ct_ref[rows, :],
+                        wt_ref[rel],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(o_ref.dtype)
+                else:
+                    for h in range(H):
+                        o_ref[rows, h * K : (h + 1) * K] = jax.lax.dot_general(
+                            ct_ref[rows, h * O : (h + 1) * O],
+                            wt_ref[rel, h],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _dx_resident(ct_rows, w, seg, x3, x_heads, interpret):
+    S, H, K, O = w.shape
+    T, nt = seg.tile, seg.n_tiles
+    Hx = x_heads if x3 else 1
+    out_cols = Hx * K if Hx > 1 else K
+    BT = _choose_block_rows(T, seg.n_rows)
+    G = BT // T
+    if Hx == 1:
+        # (S, H, K, O) -> (S, H*O, K): dx = ct_flat @ wt_cat sums over heads
+        wt_in = jnp.transpose(w, (0, 1, 3, 2)).reshape(S, H * O, K)
+        wt_spec = pl.BlockSpec((S, H * O, K), lambda i, ts: (0, 0, 0))
+    else:
+        wt_in = jnp.swapaxes(w, 2, 3)
+        wt_spec = pl.BlockSpec((S, H, O, K), lambda i, ts: (0, 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(nt, G),),
+        in_specs=[
+            pl.BlockSpec((BT, H * O), lambda i, ts: (i, 0)),
+            wt_spec,
+        ],
+        out_specs=pl.BlockSpec((BT, out_cols), lambda i, ts: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _make_dx_resident_kernel(H, Hx, K, O, T, G, nt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
+        interpret=interpret,
+    )(jnp.asarray(seg.tile_seg), ct_rows.reshape(seg.n_rows, H * O), wt_in)
+    if x3:
+        return out.reshape(seg.n_rows, Hx, K)
+    return out
+
+
+def _make_dw_resident_kernel(H, Hx, K, O, T, G, nt):
+    def kernel(ts_ref, x_ref, ct_ref, o_ref):
+        # o_ref resident across the whole grid:
+        #   Hx == 1: (S, K, H*O) head-folded; else (S, H, K, O)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for j in range(G):
+            t = i * G + j
+
+            @pl.when(t < nt)
+            def _():
+                rel = ts_ref[jnp.minimum(t, nt - 1)]
+                rows = slice(j * T, (j + 1) * T)
+                if Hx == 1:
+                    acc = jax.lax.dot_general(
+                        x_ref[rows, :K],
+                        ct_ref[rows, :],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    o_ref[rel] = o_ref[rel] + acc.astype(o_ref.dtype)
+                else:
+                    for h in range(H):
+                        acc = jax.lax.dot_general(
+                            x_ref[rows, h * K : h * K + K],
+                            ct_ref[rows, h * O : (h + 1) * O],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        o_ref[rel, h] = o_ref[rel, h] + acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _dw_resident(x_rows, ct_rows, w_shape, seg, interpret):
+    S, H, K, O = w_shape
+    T, nt = seg.tile, seg.n_tiles
+    xf, x3, Hx = _fold_x(x_rows)
+    BT = _choose_block_rows(T, seg.n_rows)
+    G = BT // T
+    if Hx == 1:
+        out_shape = jax.ShapeDtypeStruct((S, K, H * O), jnp.float32)
+        out_spec = pl.BlockSpec((S, K, H * O), lambda i, ts: (0, 0, 0))
+    else:
+        out_shape = jax.ShapeDtypeStruct((S, H, K, O), jnp.float32)
+        out_spec = pl.BlockSpec((S, H, K, O), lambda i, ts: (0, 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(nt, G),),
+        in_specs=[
+            pl.BlockSpec((BT, Hx * K), lambda i, ts: (i, 0)),
+            pl.BlockSpec((BT, H * O), lambda i, ts: (i, 0)),
+        ],
+        out_specs=out_spec,
+    )
+    out = pl.pallas_call(
+        _make_dw_resident_kernel(H, Hx, K, O, T, G, nt),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(seg.tile_seg), xf, ct_rows.reshape(seg.n_rows, H * O))
+    if Hx == 1:
+        # (S, K, H*O) -> (S, H, K, O)
+        out = jnp.transpose(out.reshape(S, K, H, O), (0, 2, 1, 3))
+    return out
+
+
 # ---------------------------------------------------------------- dX
 
 
@@ -136,6 +369,7 @@ def _make_dx_kernel(H: int, Hx: int, K: int, O: int):
                     wt_ref[0, h],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             o_ref[...] = acc.astype(o_ref.dtype)
         else:
@@ -145,6 +379,7 @@ def _make_dx_kernel(H: int, Hx: int, K: int, O: int):
                     wt_ref[0, h],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 ).astype(o_ref.dtype)
 
     return kernel
@@ -165,6 +400,8 @@ def segment_matmul_rows_dx(
         interpret = _interpret_default()
     S, H, K, O = w.shape
     T, nt = seg.tile, seg.n_tiles
+    if w.size * _itemsize(w) <= W_RESIDENT_BYTES:
+        return _dx_resident(ct_rows, w, seg, x3, x_heads, interpret)
     # same host-side weight transpose as the reference backward
     # (hrt/python/backend/rgnn_layers_and_funcs.py:64)
     wt = jnp.swapaxes(w, 2, 3)  # (S, H, O, K)
@@ -207,6 +444,7 @@ def _make_dw_kernel(H: int, Hx: int, K: int, O: int):
                 ct_ref[:, h * O : (h + 1) * O],
                 dimension_numbers=(((0,), (0,)), ((), ())),  # x^T @ ct
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
             @pl.when(first_ref[i] == 1)
@@ -233,6 +471,8 @@ def segment_matmul_rows_dw(
         interpret = _interpret_default()
     S, H, K, O = w_shape
     T, nt = seg.tile, seg.n_tiles
+    if int(np.prod(w_shape)) * 4 <= W_RESIDENT_BYTES:
+        return _dw_resident(x_rows, ct_rows, w_shape, seg, interpret)
     xf, x3, Hx = _fold_x(x_rows)
     ts = jnp.asarray(seg.tile_seg)
     first = jnp.concatenate(

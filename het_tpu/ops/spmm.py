@@ -98,6 +98,24 @@ def relational_fused_gat(
     divides by the *source* running sum (ref_rgat.py:30) which contradicts
     its own backward and the CUDA kernels; we normalize by destination.]"""
     logits = jax.nn.leaky_relu(el_e + er_e, negative_slope=slope)
+    from . import get_backend
+
+    if get_backend() == "pallas":
+        # single fused aggregation pass: pack exp values and exp-weighted
+        # messages into one segment-sum call (denominator + numerator),
+        # dividing after aggregation (algebraically identical since the
+        # denominator is constant per destination)
+        if stable:
+            m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
+            logits = logits - gather_dst(g, m)
+        z = g.edge_mask(jnp.exp(logits))  # (EP, H)
+        EP, H = z.shape
+        D = feat_src_e.shape[-1]
+        zf = (feat_src_e * z[..., None]).reshape(EP, H * D)
+        packed = jnp.concatenate([z, zf], axis=1)
+        agg = scatter_sum_dst(g, packed)  # (N, H + H*D)
+        s, out_raw = agg[:, :H], agg[:, H:].reshape(-1, H, D)
+        return safe_div(out_raw, s[..., None])
     alpha = edge_softmax(g, logits, stable=stable)  # (EP, H)
     return scatter_sum_dst(g, feat_src_e * alpha[..., None])
 
@@ -128,6 +146,21 @@ def hgt_softmax_weighted_agg(
     edge_softmax_ops + message_mean_aggregation (HGTOps.inc.h:660-662,
     HGTForwardKernels.cu.h:51,247) and the fused COO variant
     (HGTOpsEdgeParallel.inc.h:391)."""
+    from . import get_backend
+
+    if get_backend() == "pallas":
+        mu_e = jnp.take(mu, g.rel, axis=0)
+        logits = score_e * mu_e
+        if stable:
+            m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
+            logits = logits - gather_dst(g, m)
+        z = g.edge_mask(jnp.exp(logits))
+        EP, H = z.shape
+        D = message_e.shape[-1]
+        zf = (message_e * z[..., None]).reshape(EP, H * D)
+        agg = scatter_sum_dst(g, jnp.concatenate([z, zf], axis=1))
+        s, out_raw = agg[:, :H], agg[:, H:].reshape(-1, H, D)
+        return safe_div(out_raw, s[..., None])
     alpha = hgt_edge_softmax(g, score_e, mu, stable=stable)
     return scatter_sum_dst(g, message_e * alpha[..., None])
 

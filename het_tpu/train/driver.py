@@ -99,6 +99,9 @@ def train(
     cfg: TrainConfig, data: Optional[Dataset] = None
 ) -> Dict[str, Any]:
     """Run full-graph training; returns the reference-schema metrics dict."""
+    from .. import ops as _ops
+
+    _ops.set_backend(cfg.backend)
     if data is None:
         data = load_dataset(
             cfg.dataset,

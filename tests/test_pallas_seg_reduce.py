@@ -1,0 +1,63 @@
+"""Pallas dst-segment-sum kernel vs XLA segment_sum (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from het_tpu.graph import random_heterograph
+from het_tpu import ops
+from het_tpu.ops.pallas.seg_reduce import seg_sum_dst_pallas, seg_sum_dst_pallas_raw
+
+
+def _toy(seed=0, **kw):
+    kw.setdefault("num_nodes", 50)
+    kw.setdefault("num_edges", 600)
+    kw.setdefault("num_rels", 4)
+    return random_heterograph(seed=seed, tile=8, **kw)
+
+
+@pytest.mark.parametrize("C", [4, 64])
+def test_seg_sum_matches_xla(C, rng):
+    g = _toy()
+    vals = jnp.asarray(
+        rng.standard_normal((g.num_padded_edges, C), dtype=np.float32)
+    )
+    want = ops.scatter_sum_nodes(vals, g.dst, g.num_nodes,
+                                 indices_are_sorted=True)
+    got = seg_sum_dst_pallas_raw(g, vals, interpret=True, nb=16, chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seg_sum_power_law(rng):
+    # hub-heavy graph: one node tile processes most edges
+    g = _toy(seed=1, power_law=True, num_edges=2000)
+    vals = jnp.asarray(
+        rng.standard_normal((g.num_padded_edges, 8), dtype=np.float32)
+    )
+    want = ops.scatter_sum_nodes(vals, g.dst, g.num_nodes,
+                                 indices_are_sorted=True)
+    got = seg_sum_dst_pallas_raw(g, vals, interpret=True, nb=16, chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_seg_sum_grad_is_gather(rng):
+    g = _toy(seed=2)
+    vals = jnp.asarray(
+        rng.standard_normal((g.num_padded_edges, 2, 4), dtype=np.float32)
+    )
+
+    def loss_p(v):
+        return jnp.sum(seg_sum_dst_pallas(g, v) ** 2)
+
+    def loss_x(v):
+        return jnp.sum(ops.scatter_sum_nodes(
+            v, g.dst, g.num_nodes, indices_are_sorted=True) ** 2)
+
+    gp = jax.grad(loss_p)(vals)
+    gx = jax.grad(loss_x)(vals)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(gp)[g.num_edges:] == 0)
