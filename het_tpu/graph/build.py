@@ -35,10 +35,17 @@ def _i32(a) -> np.ndarray:
 
 
 def build_segments(
-    seg_of_row: np.ndarray, n_segments: int, tile: int
+    seg_of_row: np.ndarray,
+    n_segments: int,
+    tile: int,
+    force_rows: Optional[int] = None,
 ) -> Segments:
     """Group ``n_src`` source rows by segment id, padding each segment to a
-    multiple of ``tile`` rows so every row-tile is single-segment."""
+    multiple of ``tile`` rows so every row-tile is single-segment.
+
+    ``force_rows`` pads the total to a fixed size (extra invalid rows are
+    appended to the last segment) so shards of a partitioned graph share
+    identical shapes (het_tpu/parallel/partition.py)."""
     seg_of_row = np.asarray(seg_of_row)
     n_src = int(seg_of_row.shape[0])
     order = np.argsort(seg_of_row, kind="stable").astype(np.int64)
@@ -46,6 +53,9 @@ def build_segments(
     padded = ((counts + tile - 1) // tile * tile) if tile > 1 else counts
     seg_ptrs = np.zeros(n_segments + 1, dtype=np.int64)
     np.cumsum(padded, out=seg_ptrs[1:])
+    if force_rows is not None:
+        assert force_rows >= seg_ptrs[-1] and force_rows % max(tile, 1) == 0
+        seg_ptrs[-1] = force_rows
     n_rows = int(seg_ptrs[-1])
 
     perm = np.zeros(n_rows, dtype=np.int64)
@@ -87,6 +97,7 @@ def _build_compact(
     num_rels: int,
     tile: int,
     num_padded_edges: int,
+    force_rows: Optional[int] = None,
 ) -> CompactInfo:
     """Unique (relation, node) pairs + direct-index edge map.
 
@@ -97,7 +108,7 @@ def _build_compact(
     uniq, inverse = np.unique(key, return_inverse=True)
     pair_rel = (uniq // num_nodes).astype(np.int64)
     pair_node = (uniq % num_nodes).astype(np.int64)
-    seg = build_segments(pair_rel, num_rels, tile)
+    seg = build_segments(pair_rel, num_rels, tile, force_rows=force_rows)
     # node id per padded compact row
     node_ids = np.zeros(seg.n_rows, dtype=np.int64)
     node_ids[np.asarray(seg.inv)] = pair_node
@@ -120,6 +131,8 @@ def build_heterograph(
     edge_pad: int = 128,
     edge_extra: int = 1024,
     build_compact: bool = True,
+    force_sizes: Optional[dict] = None,
+    src_space: Optional[int] = None,
 ) -> HeteroGraph:
     """Build a :class:`HeteroGraph` from COO arrays (any edge order).
 
@@ -136,26 +149,31 @@ def build_heterograph(
     assert dst.shape[0] == E and rel.shape[0] == E
     if num_rels is None:
         num_rels = int(rel.max()) + 1 if E else 1
+    if src_space is None:
+        src_space = num_nodes
     if E:
-        assert src.min() >= 0 and src.max() < num_nodes, "src out of range"
+        assert src.min() >= 0 and src.max() < src_space, "src out of range"
         assert dst.min() >= 0 and dst.max() < num_nodes, "dst out of range"
         assert rel.min() >= 0 and rel.max() < num_rels, "rel out of range"
-    assert num_nodes < 2**31 and E < 2**31, "int32 index overflow"
+    assert max(num_nodes, src_space) < 2**31 and E < 2**31, \
+        "int32 index overflow"
 
     # canonical order: stable sort by (dst, rel, src)
     order = np.lexsort((src, rel, dst))
     c_src, c_dst, c_rel = src[order], dst[order], rel[order]
     c_eid = order  # canonical position -> original edge id
 
+    force_sizes = force_sizes or {}
     EP = max(round_up(E, edge_pad), edge_pad) + round_up(edge_extra, edge_pad)
+    EP = max(EP, force_sizes.get("num_padded_edges", 0))
     pad = EP - E
-    p_src = np.concatenate([c_src, np.full(pad, num_nodes, dtype=np.int64)])
+    p_src = np.concatenate([c_src, np.full(pad, src_space, dtype=np.int64)])
     p_dst = np.concatenate([c_dst, np.full(pad, num_nodes, dtype=np.int64)])
     p_rel = np.concatenate([c_rel, np.zeros(pad, dtype=np.int64)])
     p_eid = np.concatenate([c_eid, np.zeros(pad, dtype=np.int64)])
 
     in_deg = np.bincount(c_dst, minlength=num_nodes).astype(np.int64)
-    out_deg = np.bincount(c_src, minlength=num_nodes).astype(np.int64)
+    out_deg = np.bincount(c_src, minlength=src_space).astype(np.int64)
     in_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(in_deg, out=in_row_ptr[1:])
 
@@ -166,15 +184,18 @@ def build_heterograph(
     if pad:
         # padding slots of out_perm must point at padding edges (sentinel dst)
         out_perm[E:] = np.arange(E, EP)
-    out_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    out_row_ptr = np.zeros(src_space + 1, dtype=np.int64)
     np.cumsum(out_deg, out=out_row_ptr[1:])
 
     # Relation segments cover ALL padded edge slots (padding edges go to
     # relation 0 but are marked invalid), so `inv` maps the full canonical
     # edge space and per-edge results read back at shape (EP, ...).
-    edge_rel_seg = build_segments(p_rel, num_rels, tile)
+    edge_rel_seg = build_segments(
+        p_rel, num_rels, tile,
+        force_rows=force_sizes.get("edge_rel_rows"),
+    )
     erv = np.asarray(edge_rel_seg.row_valid) & (
-        p_src[np.asarray(edge_rel_seg.perm)] < num_nodes
+        p_src[np.asarray(edge_rel_seg.perm)] < src_space
     )
     edge_rel_seg = dataclasses.replace(
         edge_rel_seg, row_valid=np.ascontiguousarray(erv)
@@ -196,8 +217,14 @@ def build_heterograph(
 
     compact_src = compact_dst = None
     if build_compact:
-        compact_src = _build_compact(c_rel, c_src, num_nodes, num_rels, tile, EP)
-        compact_dst = _build_compact(c_rel, c_dst, num_nodes, num_rels, tile, EP)
+        compact_src = _build_compact(
+            c_rel, c_src, src_space, num_rels, tile, EP,
+            force_rows=force_sizes.get("compact_src_rows"),
+        )
+        compact_dst = _build_compact(
+            c_rel, c_dst, num_nodes, num_rels, tile, EP,
+            force_rows=force_sizes.get("compact_dst_rows"),
+        )
 
     if rel_names is None:
         rel_names = tuple(f"rel{i}" for i in range(num_rels))
@@ -223,6 +250,7 @@ def build_heterograph(
         compact_dst=compact_dst,
         in_deg=_i32(in_deg),
         out_deg=_i32(out_deg),
+        num_src_space=0 if src_space == num_nodes else int(src_space),
     )
 
 

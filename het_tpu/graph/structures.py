@@ -166,7 +166,17 @@ class HeteroGraph:
 
     # -- degrees --
     in_deg: Array  # (num_nodes,) int32 over real edges
-    out_deg: Array  # (num_nodes,) int32
+    out_deg: Array  # (src_space,) int32
+
+    # Source-index space. Single-chip: == num_nodes (encoded as 0).  On a
+    # partitioned shard (het_tpu/parallel): destinations are local
+    # (num_nodes = padded per-shard count) while sources index the
+    # padded-global feature space assembled by the halo all-gather.
+    num_src_space: int = 0
+
+    @property
+    def src_space(self) -> int:
+        return self.num_src_space or self.num_nodes
 
     @property
     def edge_valid(self) -> Array:
@@ -215,6 +225,7 @@ _register(
         "num_ntypes",
         "ntype_offsets",
         "rel_names",
+        "num_src_space",
     ),
 )
 

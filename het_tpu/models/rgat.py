@@ -51,8 +51,18 @@ class RGATLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, g: HeteroGraph, x: Array, *, deterministic: bool = True
+        self,
+        g: HeteroGraph,
+        x: Array,
+        *,
+        x_dst: Array = None,
+        deterministic: bool = True,
     ) -> Array:
+        # x indexes the graph's source space; x_dst its (local) destination
+        # space.  They coincide single-chip; they differ on a partitioned
+        # shard where x is the halo-gathered global feature matrix.
+        if x_dst is None:
+            x_dst = x
         assert self.out_feat % self.num_heads == 0
         H = self.num_heads
         D = self.out_feat // H
@@ -80,7 +90,7 @@ class RGATLayer(nn.Module):
                     g, x, wa_l[..., None], side="src"
                 )[..., 0]
                 er_c = ops.compact_typed_linear(
-                    g, x, wa_r[..., None], side="dst"
+                    g, x_dst, wa_r[..., None], side="dst"
                 )[..., 0]
             else:
                 el_c = jnp.einsum(
@@ -88,7 +98,7 @@ class RGATLayer(nn.Module):
                     feat_c_src,
                     jnp.take(attn_l, g.compact_src.seg.row_seg, axis=0),
                 )
-                feat_c_dst = ops.compact_typed_linear(g, x, conv_w, side="dst")
+                feat_c_dst = ops.compact_typed_linear(g, x_dst, conv_w, side="dst")
                 er_c = jnp.einsum(
                     "uhd,uhd->uh",
                     feat_c_dst,
@@ -103,12 +113,12 @@ class RGATLayer(nn.Module):
                 wa_l = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_l)
                 wa_r = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_r)
                 el = ops.edge_typed_linear(g, x, wa_l[..., None], "src")[..., 0]
-                er = ops.edge_typed_linear(g, x, wa_r[..., None], "dst")[..., 0]
+                er = ops.edge_typed_linear(g, x_dst, wa_r[..., None], "dst")[..., 0]
             else:
                 el = jnp.einsum(
                     "ehd,ehd->eh", feat_src_e, jnp.take(attn_l, rel_e, axis=0)
                 )
-                feat_dst_e = ops.edge_typed_linear(g, x, conv_w, side="dst")
+                feat_dst_e = ops.edge_typed_linear(g, x_dst, conv_w, side="dst")
                 er = jnp.einsum(
                     "ehd,ehd->eh", feat_dst_e, jnp.take(attn_r, rel_e, axis=0)
                 )
@@ -124,7 +134,7 @@ class RGATLayer(nn.Module):
                 "loop_weight", init, (self.in_feat, self.out_feat),
                 self.param_dtype,
             )
-            h = h + x @ loop_w
+            h = h + x_dst @ loop_w
         if self.bias:
             b = self.param(
                 "h_bias", nn.initializers.zeros, (self.out_feat,),

@@ -86,8 +86,11 @@ class RGCNLayer(nn.Module):
         x: Array,
         norm_e: Optional[Array] = None,
         *,
+        x_dst: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Array:
+        if x_dst is None:
+            x_dst = x
         init = nn.initializers.xavier_uniform()
         w = self.param(
             "weight", init, (self.num_rels, self.in_feat, self.out_feat),
@@ -108,7 +111,7 @@ class RGCNLayer(nn.Module):
                 "loop_weight", init, (self.in_feat, self.out_feat),
                 self.param_dtype,
             )
-            h = h + x @ loop_w
+            h = h + x_dst @ loop_w
         if self.bias:
             h = h + self.param(
                 "bias", nn.initializers.zeros, (self.out_feat,),

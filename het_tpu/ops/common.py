@@ -76,7 +76,8 @@ def scatter_sum_src(g, edge_vals: Array) -> Array:
     permutation (``g.out_perm``), again a sorted reduction."""
     vals_p = jnp.take(edge_vals, g.out_perm, axis=0)
     idx_p = jnp.take(g.src, g.out_perm, axis=0)
-    return scatter_sum_nodes(vals_p, idx_p, g.num_nodes, indices_are_sorted=True)
+    return scatter_sum_nodes(vals_p, idx_p, g.src_space,
+                             indices_are_sorted=True)
 
 
 def safe_div(num: Array, den: Array) -> Array:

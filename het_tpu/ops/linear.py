@@ -93,9 +93,10 @@ def typed_linear(
 
 def _edge_row_idx(g: HeteroGraph, side: str) -> Array:
     idx = g.src if side == "src" else g.dst
+    sentinel = g.src_space if side == "src" else g.num_nodes
     seg = g.edge_rel_seg
     return jnp.where(
-        seg.row_valid, jnp.take(idx, seg.perm), jnp.int32(g.num_nodes)
+        seg.row_valid, jnp.take(idx, seg.perm), jnp.int32(sentinel)
     )
 
 
@@ -122,8 +123,9 @@ def compact_typed_linear(
     unique (rel, node) instead of once per edge."""
     info = g.compact_src if side == "src" else g.compact_dst
     assert info is not None, "graph built without compact indices"
+    sentinel = g.src_space if side == "src" else g.num_nodes
     seg = info.seg
-    row_idx = jnp.where(seg.row_valid, info.node_ids, jnp.int32(g.num_nodes))
+    row_idx = jnp.where(seg.row_valid, info.node_ids, jnp.int32(sentinel))
     return typed_linear(x, w, seg, row_idx)
 
 

@@ -1,0 +1,122 @@
+"""shard_map data-parallel execution over a partitioned heterograph.
+
+The collective structure per layer (new relative to the single-GPU
+reference; the design SURVEY.md §7 calls for):
+
+    x_local (per, F)  --all_gather('dp')-->  x_global (P*per, F)
+    layer(g_local, x_global, x_dst=x_local)  -> h_local (per, out)
+
+Aggregations stay shard-local (edges live with their destinations), the
+all-gather is the halo exchange, and parameter gradients pick up their psum
+from the shard_map transpose of the replicated in_spec.  XLA's latency
+hiding overlaps the gather with the local typed matmuls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph.structures import HeteroGraph
+from .partition import PartitionInfo, unstack_local
+
+Array = jax.Array
+
+
+def make_mesh(n_devices: int = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    assert len(devs) >= n_devices, (
+        f"need {n_devices} devices, have {len(devs)} "
+        "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for tests)"
+    )
+    import numpy as np
+
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def shard_stacked(tree, mesh: Mesh, axis: str = "dp"):
+    """Place a stacked (leading device axis) pytree onto the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def halo_gather(h_local: Array, axis: str = "dp") -> Array:
+    """All-gather shard-local node rows into the padded-global space —
+    the boundary-feature exchange over ICI."""
+    return jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+
+
+def dp_apply(
+    apply_fn: Callable,
+    params,
+    sg: HeteroGraph,
+    x: Array,
+    mesh: Mesh,
+    *,
+    axis: str = "dp",
+):
+    """Run ``apply_fn(params, g_local, x_local)`` on every shard.
+
+    ``apply_fn`` may call :func:`halo_gather` internally (any number of
+    times — once per layer).  ``sg`` is the stacked partitioned graph; ``x``
+    is (num_padded_global_nodes, F), sharded by rows; the result is the
+    row-sharded per-shard outputs reassembled as
+    (num_padded_global_nodes, out)."""
+
+    def local_fn(params, g_stack, x_loc):
+        g_local = unstack_local(g_stack)
+        return apply_fn(params, g_local, x_loc)
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(params, sg, x)
+
+
+class DPGNN:
+    """Distributed multi-layer GNN driver: a stack of single-shard flax
+    layers with halo all-gather between layers.
+
+    Works with any layer whose ``__call__(g, x, x_dst=..)`` distinguishes
+    source-space and destination-space features (RGATLayer, RGCNLayer)."""
+
+    def __init__(self, layers: Sequence, mesh: Mesh, axis: str = "dp"):
+        self.layers = list(layers)
+        self.mesh = mesh
+        self.axis = axis
+
+    def init(self, key, sg: HeteroGraph, x: Array) -> List:
+        """Initialize per-layer params by running shard 0 single-device."""
+        g_local = jax.tree.map(lambda a: a[0], sg)
+        n_parts = jax.tree.leaves(sg)[0].shape[0]
+        params = []
+        h = jnp.asarray(x)
+        h_loc = h[: g_local.num_nodes]
+        for layer in self.layers:
+            key, k = jax.random.split(key)
+            p = layer.init(k, g_local, h, x_dst=h_loc)
+            params.append(p)
+            h_loc = layer.apply(p, g_local, h, x_dst=h_loc)
+            h = jnp.tile(h_loc, (n_parts, 1))
+        return params
+
+    def apply(self, params: List, sg: HeteroGraph, x: Array) -> Array:
+        axis = self.axis
+        layers = self.layers
+
+        def fwd(params, g_local, x_loc):
+            h = x_loc
+            for layer, p in zip(layers, params):
+                h_glob = halo_gather(h, axis)
+                h = layer.apply(p, g_local, h_glob, x_dst=h)
+            return h
+
+        return dp_apply(fwd, params, sg, x, self.mesh, axis=axis)

@@ -1,0 +1,112 @@
+"""Distributed layer tests on an 8-virtual-device CPU mesh: a partitioned
+RGAT/RGCN must reproduce the single-chip results exactly (up to f32
+reassociation), and gradients must flow through the shard_map + all-gather."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from het_tpu.graph import build_heterograph
+from het_tpu.models import RGATLayer, RGCNLayer
+from het_tpu.parallel import (
+    DPGNN,
+    make_mesh,
+    partition_by_dst,
+    shard_stacked,
+)
+
+
+def _coo(seed=0, n=200, e=900, r=4):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, n, e),
+        rng.integers(0, n, e),
+        rng.integers(0, r, e),
+        n,
+        r,
+    )
+
+
+@pytest.mark.parametrize("n_parts", [2, 8])
+def test_partition_roundtrip(n_parts):
+    src, dst, rel, n, r = _coo()
+    sg, info = partition_by_dst(src, dst, rel, n, r, n_parts, tile=8)
+    # every original edge appears in exactly one shard with relabeled ids
+    total = 0
+    for p in range(n_parts):
+        gp = jax.tree.map(lambda a: a[p], sg)
+        E = np.asarray(gp.dst)
+        real = E < gp.num_nodes
+        total += real.sum()
+    assert total == len(src)
+    assert info.num_padded_global_nodes % n_parts == 0
+
+
+def test_dp_rgat_matches_single_chip():
+    src, dst, rel, n, r = _coo(seed=1)
+    n_parts = 8
+    mesh = make_mesh(n_parts)
+    sg, info = partition_by_dst(src, dst, rel, n, r, n_parts, tile=8)
+    sg = shard_stacked(sg, mesh)
+
+    F, O = 12, 8
+    rngk = jax.random.PRNGKey(0)
+    x_orig = jax.random.normal(rngk, (n, F))
+    x_pad = jnp.asarray(info.pad_node_data(np.asarray(x_orig)))
+
+    layer = RGATLayer(in_feat=F, out_feat=O, num_rels=r, num_heads=2,
+                      bias=True, dropout=0.0)
+    dp = DPGNN([layer], mesh)
+    params = dp.init(jax.random.PRNGKey(1), sg, x_pad)
+    out_dp = jax.jit(lambda p, x: dp.apply(p, sg, x))(params, x_pad)
+
+    # single-chip reference on the unpartitioned graph
+    g1 = build_heterograph(src, dst, rel, n, r, tile=8)
+    out_1 = layer.apply(params[0], g1, x_orig)
+
+    # compare real node rows
+    relabeled = info.relabel(np.arange(n))
+    np.testing.assert_allclose(
+        np.asarray(out_dp)[relabeled], np.asarray(out_1),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_dp_two_layer_grads():
+    src, dst, rel, n, r = _coo(seed=2, n=160, e=600)
+    n_parts = 4
+    mesh = make_mesh(n_parts)
+    sg, info = partition_by_dst(src, dst, rel, n, r, n_parts, tile=8)
+    sg = shard_stacked(sg, mesh)
+    F = 8
+    x_pad = jnp.asarray(
+        info.pad_node_data(
+            np.random.default_rng(0).standard_normal((n, F), dtype=np.float32)
+        )
+    )
+    layers = [
+        RGCNLayer(in_feat=F, out_feat=8, num_rels=r, activation=jax.nn.relu),
+        RGATLayer(in_feat=8, out_feat=4, num_rels=r, num_heads=1,
+                  dropout=0.0),
+    ]
+    dp = DPGNN(layers, mesh)
+    params = dp.init(jax.random.PRNGKey(0), sg, x_pad)
+
+    def loss(params):
+        out = dp.apply(params, sg, x_pad)
+        return jnp.sum(out ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(val)
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # single-chip comparison of loss value
+    g1 = build_heterograph(src, dst, rel, n, r, tile=8)
+    x1 = np.asarray(x_pad)[info.relabel(np.arange(n))]
+    h = layers[0].apply(params[0], g1, jnp.asarray(x1))
+    h = layers[1].apply(params[1], g1, h)
+    np.testing.assert_allclose(
+        float(jnp.sum(h ** 2)), float(val), rtol=1e-3
+    )
