@@ -1,0 +1,105 @@
+"""Rewrite-pass tests: compact materialization and linear-operator
+reordering must preserve numerics exactly (the Hector paper's correctness
+claims, now checked at the compiler level)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from het_tpu.compiler import compile_program, parse_dsl
+from het_tpu.compiler.passes import run_default
+from het_tpu.compiler.rewrites import (
+    compact_materialization,
+    reorder_linear_operators,
+)
+from het_tpu.graph import random_heterograph
+from .test_compiler import RGAT_DSL
+
+ATTN_DSL = """
+for e in g.edges():
+    e["hs"] = e.src.feature * W[e.etype]
+    e["atts"] = inner_product(w_s[e.etype], e.hs)
+    e["ht"] = e.dst.feature * W[e.etype]
+    e["attt"] = inner_product(w_t[e.etype], e.ht)
+    e["att"] = leakyrelu(e.atts + e.attt)
+"""
+
+
+def _toy(seed=0):
+    return random_heterograph(
+        num_nodes=30, num_edges=150, num_rels=3, seed=seed, tile=8
+    )
+
+
+def _rgat_data(g, F=6, D=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.standard_normal((g.num_nodes, F), dtype=np.float32)),
+        jnp.asarray(rng.standard_normal((g.num_rels, F, D),
+                                        dtype=np.float32)),
+        jnp.asarray(rng.standard_normal((g.num_rels, D), dtype=np.float32)),
+    )
+
+
+def test_reorder_preserves_numerics():
+    g = _toy()
+    x, W, _ = _rgat_data(g)
+    rng = np.random.default_rng(1)
+    w_s = jnp.asarray(rng.standard_normal((g.num_rels, 4), dtype=np.float32))
+    w_t = jnp.asarray(rng.standard_normal((g.num_rels, 4), dtype=np.float32))
+
+    prog = run_default(parse_dsl(ATTN_DSL))
+    base = compile_program(prog)(
+        g, {"feature": x}, {"W": W, "w_s": w_s, "w_t": w_t}
+    )["att"]
+
+    prog2 = run_default(parse_dsl(ATTN_DSL))
+    n = reorder_linear_operators(prog2)
+    assert n == 2, f"expected 2 reorders, got {n}"
+    # the per-edge denses must be gone
+    assert not any(
+        op.kind in ("NodeDense", "EdgeDense") for op in prog2.ops
+    )
+    assert any(op.kind == "WeightDense" for op in prog2.ops)
+    got = compile_program(prog2)(
+        g, {"feature": x}, {"W": W, "w_s": w_s, "w_t": w_t}
+    )["att"]
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(got), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_compact_preserves_numerics():
+    g = _toy(seed=2)
+    x, W, a = _rgat_data(g)
+    prog = run_default(parse_dsl(RGAT_DSL))
+    base = compile_program(prog)(
+        g, {"feature": x}, {"W": W, "attn_vec": a}
+    )["output"]
+
+    prog2 = run_default(parse_dsl(RGAT_DSL))
+    n = compact_materialization(prog2)
+    assert n >= 1
+    assert any(op.kind == "CompactDense" for op in prog2.ops)
+    got = compile_program(prog2)(
+        g, {"feature": x}, {"W": W, "attn_vec": a}
+    )["output"]
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(got), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_compact_sinks_through_elementwise():
+    """exp/leakyrelu/inner-product chains must stay in compact space."""
+    g = _toy(seed=3)
+    prog = run_default(parse_dsl(ATTN_DSL))
+    compact_materialization(prog)
+    kinds = [op.kind for op in prog.ops]
+    # the inner products now run compact; at most the final add is edgewise
+    assert "CompactDense" in kinds
+    compact_ips = [
+        op
+        for op in prog.ops
+        if op.kind == "EdgeInnerProduct" and op.attrs.get("compact")
+    ]
+    assert len(compact_ips) == 2
