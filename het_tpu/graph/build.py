@@ -18,6 +18,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import native
 from .structures import CompactInfo, HeteroGraph, Segments
 
 __all__ = ["build_segments", "build_heterograph", "round_up"]
@@ -104,10 +105,11 @@ def _build_compact(
     Reference semantics: per-relation ``torch.unique`` over the edge endpoint
     slice plus inverse indices (hrt/python/utils_lite/mydgl_graph_methods.py:11
     and kernel_enums.h direct-indexing kind)."""
-    key = rel.astype(np.int64) * np.int64(num_nodes) + node.astype(np.int64)
-    uniq, inverse = np.unique(key, return_inverse=True)
-    pair_rel = (uniq // num_nodes).astype(np.int64)
-    pair_node = (uniq % num_nodes).astype(np.int64)
+    pair_rel, pair_node, inverse = native.unique_pairs(
+        rel, node, num_nodes, num_rels
+    )
+    pair_rel = pair_rel.astype(np.int64)
+    pair_node = pair_node.astype(np.int64)
     seg = build_segments(pair_rel, num_rels, tile, force_rows=force_rows)
     # node id per padded compact row
     node_ids = np.zeros(seg.n_rows, dtype=np.int64)
@@ -158,8 +160,9 @@ def build_heterograph(
     assert max(num_nodes, src_space) < 2**31 and E < 2**31, \
         "int32 index overflow"
 
-    # canonical order: stable sort by (dst, rel, src)
-    order = np.lexsort((src, rel, dst))
+    # canonical order: stable sort by (dst, rel, src); native counting
+    # sort when the C++ library is built, numpy lexsort otherwise
+    order = native.canonical_sort(src, dst, rel, num_nodes, num_rels)
     c_src, c_dst, c_rel = src[order], dst[order], rel[order]
     c_eid = order  # canonical position -> original edge id
 
