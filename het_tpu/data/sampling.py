@@ -1,0 +1,106 @@
+"""Minibatch neighborhood sampling for very large graphs.
+
+Reference: ``convert_sampled_iteration_to_mydgl_graph`` /
+``get_mydgl_graph_dataloader`` over DGL message-flow-graph blocks
+(hrt/python/utils/mydglgraph_converters.py:18-103).  DGL is absent here;
+this is a self-contained host-side fanout sampler producing standard
+HeteroGraphs (so the whole op/kernels stack applies unchanged to
+minibatches).  Shapes vary per batch; for jit-stability pass
+``force_sizes``-style padding via ``pad_edges_to``."""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..graph.build import build_heterograph
+from ..graph.convert import coo_to_csr
+from ..graph.structures import HeteroGraph
+
+
+class NeighborSampler:
+    """Uniform fanout sampling of in-neighborhoods around seed nodes."""
+
+    def __init__(
+        self,
+        src: np.ndarray,
+        dst: np.ndarray,
+        rel: np.ndarray,
+        num_nodes: int,
+        num_rels: int,
+        fanout: int = 10,
+        num_hops: int = 2,
+        seed: int = 0,
+    ):
+        self.src = np.asarray(src).astype(np.int64)
+        self.dst = np.asarray(dst).astype(np.int64)
+        self.rel = np.asarray(rel).astype(np.int64)
+        self.num_nodes = num_nodes
+        self.num_rels = num_rels
+        self.fanout = fanout
+        self.num_hops = num_hops
+        self.rng = np.random.default_rng(seed)
+        # in-CSR for O(1) neighborhood lookup
+        data = np.stack([self.src, self.rel], axis=1)
+        self.ptr, _, packed = coo_to_csr(self.dst, self.src, data,
+                                         num_nodes)
+        self.nbr_src = packed[:, 0]
+        self.nbr_rel = packed[:, 1]
+
+    def sample(self, seeds: np.ndarray, *, tile: int = 8,
+               pad_edges_to: Optional[int] = None) -> tuple:
+        """Returns (subgraph, node_map) where node_map[i] = original id of
+        local node i; seeds occupy the first ``len(seeds)`` local ids."""
+        seeds = np.asarray(seeds).astype(np.int64)
+        frontier = seeds
+        edges_s, edges_d, edges_r = [], [], []
+        visited = dict((int(s), i) for i, s in enumerate(seeds))
+        for _ in range(self.num_hops):
+            nxt = []
+            for v in frontier:
+                lo, hi = self.ptr[v], self.ptr[v + 1]
+                deg = hi - lo
+                if deg == 0:
+                    continue
+                take = (
+                    np.arange(lo, hi)
+                    if deg <= self.fanout
+                    else self.rng.choice(
+                        np.arange(lo, hi), self.fanout, replace=False
+                    )
+                )
+                for t in take:
+                    u = int(self.nbr_src[t])
+                    if u not in visited:
+                        visited[u] = len(visited)
+                        nxt.append(u)
+                    edges_s.append(visited[u])
+                    edges_d.append(visited[int(v)])
+                    edges_r.append(int(self.nbr_rel[t]))
+            frontier = np.asarray(nxt, dtype=np.int64)
+            if frontier.size == 0:
+                break
+        node_map = np.empty(len(visited), dtype=np.int64)
+        for orig, local in visited.items():
+            node_map[local] = orig
+        force = (
+            {"num_padded_edges": pad_edges_to} if pad_edges_to else None
+        )
+        sub = build_heterograph(
+            np.asarray(edges_s),
+            np.asarray(edges_d),
+            np.asarray(edges_r),
+            num_nodes=len(visited),
+            num_rels=self.num_rels,
+            tile=tile,
+            force_sizes=force,
+        )
+        return sub, node_map
+
+    def batches(
+        self, nodes: Sequence[int], batch_size: int, **kw
+    ) -> Iterator[tuple]:
+        nodes = np.asarray(nodes)
+        for i in range(0, len(nodes), batch_size):
+            yield self.sample(nodes[i : i + batch_size], **kw)

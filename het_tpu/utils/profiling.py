@@ -1,0 +1,111 @@
+"""Profiling and roofline analysis.
+
+TPU replacement for the reference's out-of-band Nsight tooling
+(hrt/utils/{trace_nsys_all.sh, profile_ncu_all.sh, plot_roofline.py,
+calc_HET_dram_table.py} and the ctags-based kernel classifier,
+classify_het_kernels.py): ``jax.profiler`` trace capture plus an analytic
+per-op byte/FLOP model of the RGNN pipeline for speed-of-light
+percentages.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+from dataclasses import dataclass, asdict
+from typing import Dict, Optional
+
+import jax
+
+from ..graph.structures import HeteroGraph
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/het_tpu_trace"):
+    """Capture a jax.profiler trace (view with XProf/Perfetto/TensorBoard)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+# measured machine ceilings; override per platform
+DEFAULT_PEAKS = {
+    "hbm_gbps": 470.0,  # measured streaming bandwidth (this chip)
+    "mxu_tflops_f32": 30.0,  # measured small-matmul f32 throughput
+}
+
+
+@dataclass
+class OpCost:
+    name: str
+    flops: float
+    hbm_bytes: float
+
+    def time_ms(self, peaks: Dict[str, float]) -> float:
+        t_mem = self.hbm_bytes / (peaks["hbm_gbps"] * 1e9)
+        t_cmp = self.flops / (peaks["mxu_tflops_f32"] * 1e12)
+        return max(t_mem, t_cmp) * 1e3
+
+    def intensity(self) -> float:
+        return self.flops / max(self.hbm_bytes, 1.0)
+
+
+def rgat_layer_costs(
+    g: HeteroGraph, f_in: int, heads: int, d_out: int, itemsize: int = 4
+) -> Dict[str, OpCost]:
+    """Analytic fwd-pass cost table for one RGAT layer (per-edge path)."""
+    E, N, C = g.num_padded_edges, g.num_nodes, heads * d_out
+    costs = {
+        "gather_src": OpCost(
+            "gather_src", 0, (E * f_in + N * f_in) * itemsize
+        ),
+        "typed_linear_src": OpCost(
+            "typed_linear_src",
+            2.0 * E * heads * f_in * d_out,
+            (E * f_in + E * C) * itemsize,
+        ),
+        "typed_linear_dst": OpCost(
+            "typed_linear_dst",
+            2.0 * E * heads * f_in * d_out,
+            (E * f_in + E * C) * itemsize,
+        ),
+        "attn_logits": OpCost(
+            "attn_logits", 2.0 * E * C, (2 * E * C + 2 * E * heads) * itemsize
+        ),
+        "fused_softmax_agg": OpCost(
+            "fused_softmax_agg",
+            2.0 * E * 128 * C,  # one-hot MXU reduction
+            (E * (C + heads) + N * (C + heads)) * itemsize,
+        ),
+    }
+    return costs
+
+
+def speed_of_light_report(
+    g: HeteroGraph,
+    measured_ms: Dict[str, float],
+    f_in: int,
+    heads: int,
+    d_out: int,
+    peaks: Optional[Dict[str, float]] = None,
+) -> str:
+    """Percent-of-roofline per op, reference ncu speed-of-light style."""
+    peaks = peaks or DEFAULT_PEAKS
+    costs = rgat_layer_costs(g, f_in, heads, d_out)
+    rows = []
+    for name, cost in costs.items():
+        ideal = cost.time_ms(peaks)
+        got = measured_ms.get(name)
+        pct = (ideal / got * 100.0) if got else None
+        rows.append(
+            {
+                "op": name,
+                "ideal_ms": round(ideal, 4),
+                "measured_ms": got,
+                "speed_of_light_pct": round(pct, 1) if pct else None,
+                "arith_intensity": round(cost.intensity(), 2),
+            }
+        )
+    return json.dumps(rows, indent=2)

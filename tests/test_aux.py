@@ -1,0 +1,79 @@
+"""Auxiliary subsystem tests: checkpoint round-trip, graph persistence,
+neighbor sampling, roofline report."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from het_tpu.data.sampling import NeighborSampler
+from het_tpu.graph import random_heterograph
+from het_tpu.graph.persist import load_heterograph, save_heterograph
+from het_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from het_tpu.utils.profiling import rgat_layer_costs, speed_of_light_report
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(12.0).reshape(3, 4)},
+        "opt": {"mu": jnp.ones((3, 4))},
+    }
+    save_checkpoint(str(tmp_path), state, step=3)
+    save_checkpoint(str(tmp_path), jax.tree.map(lambda x: x * 2, state), 7)
+    restored = restore_checkpoint(str(tmp_path), state)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["w"]),
+        np.asarray(state["params"]["w"]) * 2,
+    )
+    r3 = restore_checkpoint(str(tmp_path), state, step=3)
+    np.testing.assert_allclose(
+        np.asarray(r3["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+
+
+def test_graph_persist_roundtrip(tmp_path):
+    g = random_heterograph(num_nodes=40, num_edges=200, num_rels=3, tile=8)
+    p = str(tmp_path / "graph")
+    save_heterograph(p, g)
+    g2 = load_heterograph(p)
+    assert g2.num_nodes == g.num_nodes
+    assert g2.num_edges == g.num_edges
+    assert g2.edge_rel_seg.n_tiles == g.edge_rel_seg.n_tiles
+    np.testing.assert_array_equal(np.asarray(g2.src), np.asarray(g.src))
+    np.testing.assert_array_equal(
+        np.asarray(g2.compact_src.edge_map), np.asarray(g.compact_src.edge_map)
+    )
+
+
+def test_neighbor_sampler():
+    rng = np.random.default_rng(0)
+    n, e, r = 100, 600, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    sampler = NeighborSampler(src, dst, rel, n, r, fanout=5, num_hops=2)
+    seeds = np.array([1, 2, 3])
+    sub, node_map = sampler.sample(seeds)
+    assert np.array_equal(node_map[:3], seeds)
+    # every sampled edge exists in the full graph
+    full = set(zip(src.tolist(), dst.tolist(), rel.tolist()))
+    E = sub.num_edges
+    for s, d, rr in zip(
+        np.asarray(sub.src)[:E], np.asarray(sub.dst)[:E],
+        np.asarray(sub.rel)[:E],
+    ):
+        assert (node_map[s], node_map[d], rr) in full
+    # batches iterate
+    batches = list(sampler.batches(np.arange(10), 4))
+    assert len(batches) == 3
+
+
+def test_roofline_report():
+    g = random_heterograph(num_nodes=50, num_edges=300, num_rels=4, tile=8)
+    costs = rgat_layer_costs(g, f_in=64, heads=4, d_out=16)
+    assert all(c.flops >= 0 and c.hbm_bytes > 0 for c in costs.values())
+    rep = speed_of_light_report(
+        g, {"typed_linear_src": 1.0}, f_in=64, heads=4, d_out=16
+    )
+    assert "speed_of_light_pct" in rep
