@@ -118,7 +118,8 @@ def _exec_op(env: _Env, op: Op) -> None:
             # per-edge input rows times W[rel]
             x_e = env.as_edge(xv)
             seg = g.edge_rel_seg
-            rows = jnp.take(x_e, seg.perm, axis=0)
+            from ..ops.common import take_rows
+            rows = take_rows(x_e, seg.perm)
             rows = jnp.where(
                 seg.row_valid[:, None], rows, jnp.zeros_like(rows)
             )

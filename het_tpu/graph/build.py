@@ -162,7 +162,9 @@ def build_heterograph(
 
     # canonical order: stable sort by (dst, rel, src); native counting
     # sort when the C++ library is built, numpy lexsort otherwise
-    order = native.canonical_sort(src, dst, rel, num_nodes, num_rels)
+    order = native.canonical_sort(
+        src, dst, rel, max(num_nodes, src_space), num_rels
+    )
     c_src, c_dst, c_rel = src[order], dst[order], rel[order]
     c_eid = order  # canonical position -> original edge id
 

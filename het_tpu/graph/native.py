@@ -75,6 +75,10 @@ def canonical_sort(
     """Stable argsort of edges by (dst, rel, src)."""
     lib = _try_load()
     n = len(src)
+    if n:
+        assert int(np.max(src)) < num_nodes and int(np.max(dst)) < num_nodes, (
+            "canonical_sort: node id exceeds key bound"
+        )
     if lib is None:
         return np.lexsort((src, rel, dst))
     out = np.empty(n, dtype=np.int64)

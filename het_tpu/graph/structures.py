@@ -89,11 +89,15 @@ class Segments:
 
     def gather(self, x: Array) -> Array:
         """Arrange source rows into the padded segment space."""
-        return jnp.take(x, self.perm, axis=0)
+        from ..ops.common import take_rows
+
+        return take_rows(x, self.perm)
 
     def scatter_back(self, y: Array) -> Array:
         """Read padded-space rows back into source-row order."""
-        return jnp.take(y, self.inv, axis=0)
+        from ..ops.common import take_rows
+
+        return take_rows(y, self.inv)
 
 
 _register(

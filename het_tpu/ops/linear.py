@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.structures import HeteroGraph, Segments
-from .common import gather_nodes
+from .common import gather_nodes, take_rows
 
 Array = jax.Array
 
@@ -137,7 +137,7 @@ def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
     where it matters (aggregations drop padding lanes by construction)."""
     info = g.compact_src if side == "src" else g.compact_dst
     assert info is not None
-    return jnp.take(c, info.edge_map, axis=0)
+    return take_rows(c, info.edge_map)
 
 
 def ntype_linear(g: HeteroGraph, x: Array, w: Array) -> Array:
