@@ -94,10 +94,12 @@ class Segments:
         return take_rows(x, self.perm)
 
     def scatter_back(self, y: Array) -> Array:
-        """Read padded-space rows back into source-row order."""
-        from ..ops.common import take_rows
+        """Read padded-space rows back into source-row order.  inv/perm are
+        inverse injections, so the backward is a masked gather (custom
+        VJP), not a scatter."""
+        from ..ops.common import take_rows_injective
 
-        return take_rows(y, self.inv)
+        return take_rows_injective(y, self.inv, self.perm, self.row_valid)
 
 
 _register(

@@ -115,13 +115,9 @@ class RGATLayer(nn.Module):
                 el = ops.edge_typed_linear(g, x, wa_l[..., None], "src")[..., 0]
                 er = ops.edge_typed_linear(g, x_dst, wa_r[..., None], "dst")[..., 0]
             else:
-                el = jnp.einsum(
-                    "ehd,ehd->eh", feat_src_e, jnp.take(attn_l, rel_e, axis=0)
-                )
+                el = ops.edge_rel_inner(g, feat_src_e, attn_l)
                 feat_dst_e = ops.edge_typed_linear(g, x_dst, conv_w, side="dst")
-                er = jnp.einsum(
-                    "ehd,ehd->eh", feat_dst_e, jnp.take(attn_r, rel_e, axis=0)
-                )
+                er = ops.edge_rel_inner(g, feat_dst_e, attn_r)
 
         h = ops.relational_fused_gat(
             g, feat_src_e, el, er, self.leaky_relu_slope,

@@ -17,6 +17,7 @@ from .common import (  # noqa: F401
 )
 from .linear import (  # noqa: F401
     compact_typed_linear,
+    edge_rel_inner,
     edge_typed_linear,
     expand_compact,
     ntype_linear,

@@ -43,6 +43,33 @@ def gather_nodes(x: Array, idx: Array) -> Array:
     return take_rows(pad_zero_row(x), idx)
 
 
+def take_rows_injective(
+    y: Array, inv: Array, perm: Array, row_valid: Array
+) -> Array:
+    """``y[inv]`` where ``inv``/``perm`` are mutually inverse injections
+    (padded segment space <-> source rows).  The transpose of an injective
+    gather is another gather, so the custom VJP replaces XLA's unsorted
+    scatter-add backward (~4x slower on TPU) with a masked take.
+
+    Correctness requires the framework invariant that cotangents on invalid
+    (padding) rows are never produced by consumers (nothing reads them)."""
+
+    @jax.custom_vjp
+    def f(y):
+        return take_rows(y, inv)
+
+    def fwd(y):
+        return take_rows(y, inv), None
+
+    def bwd(_, ct):
+        dy = take_rows(ct, perm)
+        mask = row_valid.reshape((-1,) + (1,) * (dy.ndim - 1))
+        return (jnp.where(mask, dy, jnp.zeros_like(dy)),)
+
+    f.defvjp(fwd, bwd)
+    return f(y)
+
+
 def scatter_sum_nodes(
     vals: Array, idx: Array, num_nodes: int, *, indices_are_sorted: bool = False
 ) -> Array:

@@ -50,7 +50,10 @@ def _segment_max_dst(g: HeteroGraph, edge_vals: Array) -> Array:
         indices_are_sorted=True,
     )
     out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
-    return out[: g.num_nodes]
+    # softmax is shift-invariant: the subtracted max contributes exactly
+    # zero gradient analytically, so cut it out of the autodiff graph
+    # (XLA's segment-max backward is an expensive scatter)
+    return jax.lax.stop_gradient(out[: g.num_nodes])
 
 
 def inner_product_edge_node(

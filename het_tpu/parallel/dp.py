@@ -78,6 +78,9 @@ def dp_apply(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(axis),
+        # custom_vjp ops inside defeat the static varying-axes inference;
+        # the transpose math (psum of replicated-param grads) is unchanged
+        check_vma=False,
     )(params, sg, x)
 
 
