@@ -43,6 +43,7 @@ def gather_nodes(x: Array, idx: Array) -> Array:
     return take_rows(pad_zero_row(x), idx)
 
 
+@jax.custom_vjp
 def take_rows_injective(
     y: Array, inv: Array, perm: Array, row_valid: Array
 ) -> Array:
@@ -52,22 +53,26 @@ def take_rows_injective(
     scatter-add backward (~4x slower on TPU) with a masked take.
 
     Correctness requires the framework invariant that cotangents on invalid
-    (padding) rows are never produced by consumers (nothing reads them)."""
+    (padding) rows are never produced by consumers (nothing reads them).
 
-    @jax.custom_vjp
-    def f(y):
-        return take_rows(y, inv)
+    Index arrays are explicit arguments (None cotangents) rather than
+    closure captures: custom_vjp closures over traced values break under
+    shard_map."""
+    return take_rows(y, inv)
 
-    def fwd(y):
-        return take_rows(y, inv), None
 
-    def bwd(_, ct):
-        dy = take_rows(ct, perm)
-        mask = row_valid.reshape((-1,) + (1,) * (dy.ndim - 1))
-        return (jnp.where(mask, dy, jnp.zeros_like(dy)),)
+def _tri_fwd(y, inv, perm, row_valid):
+    return take_rows(y, inv), (perm, row_valid)
 
-    f.defvjp(fwd, bwd)
-    return f(y)
+
+def _tri_bwd(res, ct):
+    perm, row_valid = res
+    dy = take_rows(ct, perm)
+    mask = row_valid.reshape((-1,) + (1,) * (dy.ndim - 1))
+    return (jnp.where(mask, dy, jnp.zeros_like(dy)), None, None, None)
+
+
+take_rows_injective.defvjp(_tri_fwd, _tri_bwd)
 
 
 def scatter_sum_nodes(

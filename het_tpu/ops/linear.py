@@ -140,6 +140,50 @@ def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
     return take_rows(c, info.edge_map)
 
 
+@jax.custom_vjp
+def _edge_rel_inner_core(feat_e, a, rel, seg: Segments):
+    from .common import take_rows
+
+    return jnp.einsum("e...d,e...d->e...", feat_e, take_rows(a, rel))
+
+
+def _eri_fwd(feat_e, a, rel, seg):
+    return _edge_rel_inner_core(feat_e, a, rel, seg), (feat_e, a, rel, seg)
+
+
+def _eri_bwd(res, ct):
+    from .common import take_rows
+
+    feat_e, a, rel, seg = res
+    a_e = take_rows(a, rel)
+    d_feat = ct[..., None] * a_e
+    fr = take_rows(feat_e, seg.perm)
+    cr = take_rows(ct, seg.perm)
+    cr = jnp.where(
+        seg.row_valid.reshape((-1,) + (1,) * (cr.ndim - 1)), cr, 0.0
+    )
+    from . import get_backend
+
+    R, H, D = a.shape
+    if get_backend() == "pallas":
+        from .pallas.segment_mm import segment_matmul_rows_dw
+
+        da = segment_matmul_rows_dw(
+            fr, cr[..., None], (R, H, D, 1), seg
+        )[..., 0].astype(a.dtype)
+    else:
+        da = jax.ops.segment_sum(
+            (fr * cr[..., None]).reshape(seg.n_rows, H * D),
+            seg.row_seg,
+            num_segments=R,
+            indices_are_sorted=True,
+        ).reshape(R, H, D)
+    return d_feat, da, None, None
+
+
+_edge_rel_inner_core.defvjp(_eri_fwd, _eri_bwd)
+
+
 def edge_rel_inner(g: HeteroGraph, feat_e: Array, a: Array) -> Array:
     """score_e[h] = <feat_e[h, :], a[rel_e, h, :]> — the attention-logit
     inner product (reference computes it as a degenerate relational matmul,
@@ -147,48 +191,10 @@ def edge_rel_inner(g: HeteroGraph, feat_e: Array, a: Array) -> Array:
 
     Custom VJP: the naive einsum's dA is an unsorted (EP, H, D) scatter by
     relation (~20 ms on mag); routing it through the relation-sorted dW
-    Pallas kernel makes it a sorted revisit accumulation."""
-    from .common import take_rows
-
-    @jax.custom_vjp
-    def f(feat_e, a):
-        return jnp.einsum(
-            "e...d,e...d->e...", feat_e, take_rows(a, g.rel)
-        )
-
-    def f_fwd(feat_e, a):
-        return f(feat_e, a), (feat_e, a)
-
-    def f_bwd(res, ct):
-        feat_e, a = res
-        a_e = take_rows(a, g.rel)
-        d_feat = ct[..., None] * a_e
-        seg = g.edge_rel_seg
-        fr = take_rows(feat_e, seg.perm)
-        cr = take_rows(ct, seg.perm)
-        cr = jnp.where(
-            seg.row_valid.reshape((-1,) + (1,) * (cr.ndim - 1)), cr, 0.0
-        )
-        from . import get_backend
-
-        R, H, D = a.shape
-        if get_backend() == "pallas":
-            from .pallas.segment_mm import segment_matmul_rows_dw
-
-            da = segment_matmul_rows_dw(
-                fr, cr[..., None], (R, H, D, 1), seg
-            )[..., 0].astype(a.dtype)
-        else:
-            da = jax.ops.segment_sum(
-                (fr * cr[..., None]).reshape(seg.n_rows, H * D),
-                seg.row_seg,
-                num_segments=R,
-                indices_are_sorted=True,
-            ).reshape(R, H, D)
-        return d_feat, da
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(feat_e, a)
+    Pallas kernel makes it a sorted revisit accumulation.  Traced operands
+    flow through arguments (shard_map-safe); ``seg`` is a pytree argument
+    whose cotangent is None."""
+    return _edge_rel_inner_core(feat_e, a, g.rel, g.edge_rel_seg)
 
 
 def ntype_linear(g: HeteroGraph, x: Array, w: Array) -> Array:

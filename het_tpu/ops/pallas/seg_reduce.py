@@ -190,23 +190,28 @@ def seg_sum_dst_pallas_raw(
     return out[:N, :C_orig]
 
 
+@jax.custom_vjp
+def _seg_sum_core(vals2d: Array, g: HeteroGraph) -> Array:
+    return seg_sum_dst_pallas_raw(g, vals2d)
+
+
+def _ssc_fwd(vals2d, g):
+    return seg_sum_dst_pallas_raw(g, vals2d), g
+
+
+def _ssc_bwd(g, ct):
+    return gather_dst(g, ct), None
+
+
+_seg_sum_core.defvjp(_ssc_fwd, _ssc_bwd)
+
+
 def seg_sum_dst_pallas(g: HeteroGraph, vals: Array) -> Array:
     """Differentiable drop-in for ``ops.scatter_sum_dst``: (EP, ...) ->
-    (N, ...).  Backward is a sorted XLA gather (fast on TPU)."""
+    (N, ...).  Backward is a sorted XLA gather (fast on TPU).  The graph is
+    a pytree argument with a None cotangent (shard_map-safe)."""
     shape = vals.shape
     C = int(np.prod(shape[1:]))
     vals2d = vals.reshape(shape[0], C)
-
-    @jax.custom_vjp
-    def f(v):
-        return seg_sum_dst_pallas_raw(g, v)
-
-    def f_fwd(v):
-        return seg_sum_dst_pallas_raw(g, v), None
-
-    def f_bwd(_, ct):
-        return (gather_dst(g, ct),)
-
-    f.defvjp(f_fwd, f_bwd)
-    out = f(vals2d)
+    out = _seg_sum_core(vals2d, g)
     return out.reshape((g.num_nodes,) + shape[1:])

@@ -501,33 +501,33 @@ def segment_matmul_rows_dw(
 # ------------------------------------------------------- custom_vjp wrapper
 
 
+@jax.custom_vjp
 def segment_matmul_rows_pallas(
     x_rows: Array, w: Array, seg: Segments
 ) -> Array:
     """Differentiable Pallas segment matmul; drop-in replacement for the XLA
     ``segment_matmul_rows`` (het_tpu/ops/linear.py).
 
-    ``seg`` is closed over (it carries unhashable index arrays, so it cannot
-    be a ``nondiff_argnums`` static)."""
+    ``seg`` is a pytree *argument* with a None cotangent — custom_vjp
+    closures over traced values break under shard_map."""
+    return segment_matmul_rows_fwd(x_rows, w, seg)
 
-    @jax.custom_vjp
-    def f(x_rows, w):
-        return segment_matmul_rows_fwd(x_rows, w, seg)
 
-    def f_fwd(x_rows, w):
-        return segment_matmul_rows_fwd(x_rows, w, seg), (x_rows, w)
+def _smm_fwd(x_rows, w, seg):
+    return segment_matmul_rows_fwd(x_rows, w, seg), (x_rows, w, seg)
 
-    def f_bwd(res, ct):
-        x_rows, w = res
-        # padding rows contribute zero to dW because their x is exactly zero
-        # by construction (sentinel-index gathers), and zero to dx consumers
-        # because nothing reads padded rows back.
-        ct = ct.astype(x_rows.dtype)
-        x3 = x_rows.ndim == 3
-        hx = x_rows.shape[1] if x3 else 1
-        dx = segment_matmul_rows_dx(ct, w, seg, x3, hx)
-        dw = segment_matmul_rows_dw(x_rows, ct, w.shape, seg).astype(w.dtype)
-        return dx, dw
 
-    f.defvjp(f_fwd, f_bwd)
-    return f(x_rows, w)
+def _smm_bwd(res, ct):
+    x_rows, w, seg = res
+    # padding rows contribute zero to dW because their x is exactly zero
+    # by construction (sentinel-index gathers), and zero to dx consumers
+    # because nothing reads padded rows back.
+    ct = ct.astype(x_rows.dtype)
+    x3 = x_rows.ndim == 3
+    hx = x_rows.shape[1] if x3 else 1
+    dx = segment_matmul_rows_dx(ct, w, seg, x3, hx)
+    dw = segment_matmul_rows_dw(x_rows, ct, w.shape, seg).astype(w.dtype)
+    return dx, dw, None
+
+
+segment_matmul_rows_pallas.defvjp(_smm_fwd, _smm_bwd)
