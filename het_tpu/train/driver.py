@@ -162,25 +162,31 @@ def train(
 
     mem_baseline = _device_mem_mb()
 
+    from ..utils.timing import force
+
     # warm-up (reference: 5 epochs with memory capture, RGNNUtils.py:228-266)
+    # (also compiles both jitted paths so timed epochs are compile-free)
     warmup = 0 if cfg.no_warm_up else cfg.warmup_epochs
+    force(fwd_jit(params, k_drop))
     for i in range(warmup):
         k_drop, k = jax.random.split(k_drop)
         params, opt_state, loss = train_step(params, opt_state, k)
-    jax.block_until_ready(params)
+    force(loss if warmup else params)
     mem_peak = _device_mem_mb()
 
     fwd_times, bwd_times, total_times, losses = [], [], [], []
     for epoch in range(cfg.num_epochs):
         k_drop, k1, k2 = jax.random.split(k_drop, 3)
+        # force() does a tiny host fetch: block_until_ready is a no-op on
+        # fully-async dispatch runtimes (see utils/timing.py)
         t0 = time.perf_counter()
         out = fwd_jit(params, k1)
-        jax.block_until_ready(out)
+        force(out)
         t_fwd = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         params, opt_state, loss = train_step(params, opt_state, k2)
-        jax.block_until_ready(loss)
+        force(loss)
         t_total = time.perf_counter() - t0
 
         fwd_times.append(t_fwd * 1e3)

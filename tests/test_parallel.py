@@ -110,3 +110,42 @@ def test_dp_two_layer_grads():
     np.testing.assert_allclose(
         float(jnp.sum(h ** 2)), float(val), rtol=1e-3
     )
+
+
+def test_dp_with_pallas_backend():
+    """Pallas kernels (interpret mode on CPU) inside shard_map + grad."""
+    from het_tpu import ops
+
+    src, dst, rel, n, r = _coo(seed=3, n=96, e=400)
+    n_parts = 2
+    mesh = make_mesh(n_parts)
+    sg, info = partition_by_dst(src, dst, rel, n, r, n_parts, tile=8)
+    sg = shard_stacked(sg, mesh)
+    x_pad = jnp.asarray(
+        info.pad_node_data(
+            np.random.default_rng(0).standard_normal((n, 8), dtype=np.float32)
+        )
+    )
+    layer = RGATLayer(in_feat=8, out_feat=4, num_rels=r, num_heads=1,
+                      dropout=0.0)
+    dp = DPGNN([layer], mesh)
+    params = dp.init(jax.random.PRNGKey(0), sg, x_pad)
+
+    def loss(params):
+        return jnp.sum(dp.apply(params, sg, x_pad) ** 2)
+
+    ops.set_backend("xla")
+    v_x, g_x = jax.value_and_grad(loss)(params)
+    ops.set_backend("pallas")
+    try:
+        v_p, g_p = jax.jit(jax.value_and_grad(loss))(params)
+    finally:
+        ops.set_backend("xla")
+    np.testing.assert_allclose(float(v_x), float(v_p), rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+        ),
+        g_x,
+        g_p,
+    )
