@@ -9,6 +9,7 @@ import json
 
 from .config import add_args, config_from_args
 from .driver import train
+from .link import train_link
 
 
 def main() -> None:
@@ -16,7 +17,7 @@ def main() -> None:
     add_args(parser)
     args = parser.parse_args()
     cfg = config_from_args(args)
-    metrics = train(cfg)
+    metrics = (train_link(cfg) if cfg.task == "link" else train(cfg))
     slim = {
         k: v
         for k, v in metrics.items()

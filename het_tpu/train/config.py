@@ -17,6 +17,7 @@ from typing import Optional
 @dataclass
 class TrainConfig:
     model: str = "RGAT"  # RGAT | HGT | RGCN | GAT
+    task: str = "entity"  # entity (node classification) | link (prediction)
     dataset: str = "aifb"
     n_infeat: int = 64
     num_classes: int = 8
@@ -53,6 +54,8 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     """Reference-compatible flag spellings."""
     p = parser
     p.add_argument("--model", type=str, default="RGAT")
+    p.add_argument("--task", type=str, default="entity",
+                   choices=["entity", "link"])
     p.add_argument("--dataset", "-d", type=str, default="aifb")
     p.add_argument("--n_infeat", type=int, default=64)
     p.add_argument("--num_classes", type=int, default=8)
