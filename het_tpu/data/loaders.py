@@ -48,6 +48,12 @@ SYNTH_SCALES = {
     "wikikg2": (2500604, 16109182, 535),
     "biokg": (93773, 4762678, 51),
     "mag": (1939743, 21111007, 4),
+    # homogeneous (single-relation) graphs, reference graphiler set
+    "cora": (2708, 10556, 1),
+    "citeseer": (3327, 9228, 1),
+    "pubmed": (19717, 88651, 1),
+    "arxiv": (169343, 1166243, 1),
+    "reddit": (232965, 114615892, 1),
 }
 
 
