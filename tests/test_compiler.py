@@ -79,7 +79,11 @@ def test_parse_reference_rgat_dsl():
 
 def test_loads_reference_ssa_goldens():
     """Parse every well-formed reference .inter-op-ssa example."""
-    for name in ("rgat.inter-op-ssa", "single_dense.inter-op-ssa"):
+    for name in (
+        "rgat.inter-op-ssa",
+        "single_dense.inter-op-ssa",
+        "hgt.inter-op-ssa",  # nested fused TraversalOp scopes
+    ):
         prog = loads(open(os.path.join(REF_SSA, name)).read())
         assert prog.ops, name
         prog.validate()
