@@ -29,7 +29,9 @@ def main() -> None:
     from het_tpu.utils.timing import op_time_ms
 
     heads, f_in, hidden = 4, 64, 64
-    data = load_dataset("mag", tile=128, num_classes=8)
+    # real shards when mounted; synthetic fallback capped at sample scale
+    # (full mag is 21M edges — too large for a smoke benchmark)
+    data = load_dataset("mag", tile=128, num_classes=8, scale=0.018)
     g = data.graph
     model = RGATModel(
         in_feat=f_in, hidden=hidden, num_classes=8, num_rels=g.num_rels,
