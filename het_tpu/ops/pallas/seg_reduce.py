@@ -110,6 +110,102 @@ def _make_kernel(C: int, nb: int, chunk: int):
     return kernel
 
 
+def _make_max_kernel(C: int, nb: int, chunk: int):
+    """Destination-segment max, same structure as the sum kernel but with a
+    masked VPU max instead of the one-hot matmul: for each of the nb local
+    nodes, lanes outside its [lower, upper) edge range are -inf."""
+
+    def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sem):
+        # acc is kept transposed (C_pad, nb) so per-column updates are 2-D
+        # row writes (Mosaic-friendly); transposed back once at the end
+        i = pl.program_id(0)
+        start = tptr_ref[i]
+        end = tptr_ref[i + 1]
+        astart = (start // 128) * 128
+        n_chunks = (end - astart + chunk - 1) // chunk
+        acc[...] = jnp.full_like(acc, -jnp.inf)
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        lower = lo_ref[0]  # (1, nb)
+        upper = hi_ref[0]
+
+        def body(c, _):
+            off = astart + c * chunk
+            cp = pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(off, chunk), :], vch, sem
+            )
+            cp.start()
+            cp.wait()
+            gidx = lane_iota + off  # (chunk, 1)
+            in_range = (gidx >= lower) & (gidx < upper)  # (chunk, nb)
+            v = vch[...].astype(jnp.float32)  # (chunk, C_pad)
+            for col in range(C):
+                masked = jnp.where(
+                    in_range, v[:, col : col + 1], -jnp.inf
+                )  # (chunk, nb)
+                m_col = jnp.max(masked, axis=0, keepdims=True)  # (1, nb)
+                acc[col : col + 1, :] = jnp.maximum(
+                    acc[col : col + 1, :], m_col
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+        res = acc[...].T  # (nb, C_pad)
+        out_ref[...] = jnp.where(
+            jnp.isfinite(res), res, jnp.zeros_like(res)
+        ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def seg_max_dst_pallas_raw(
+    g: HeteroGraph,
+    vals2d: Array,
+    *,
+    interpret: Optional[bool] = None,
+    nb: int = NB,
+    chunk: int = CHUNK,
+) -> Array:
+    """Max-reduce (EP, C) rows into (N, C) by canonical destination; empty
+    segments yield 0 (matching the XLA fallback's finite-filtered output).
+    Intended for small C (softmax max over heads)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    EP, C = vals2d.shape
+    N = g.num_nodes
+    assert EP == g.num_padded_edges
+    assert chunk % 128 == 0
+    assert EP >= g.num_edges + chunk
+    C_orig = C
+    C = -(-C // 128) * 128 if not interpret else C
+    if C != C_orig:
+        vals2d = jnp.pad(vals2d, ((0, 0), (0, C - C_orig)))
+    n_tiles = -(-N // nb)
+    tptr, lower, upper = _tile_tables(g, nb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, nb), lambda i, tp: (i, 0, 0)),
+            pl.BlockSpec((1, 1, nb), lambda i, tp: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, C), lambda i, tp: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, C), vals2d.dtype),
+            pltpu.VMEM((C, nb), jnp.float32),  # transposed accumulator
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_max_kernel(C_orig, nb, chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, C), vals2d.dtype),
+        interpret=interpret,
+    )(tptr, vals2d, lower, upper)
+    return out[:N, :C_orig]
+
+
 def _tile_tables(g: HeteroGraph, nb: int) -> Tuple[Array, Array, Array]:
     """(tile_ptr (T+1,), lower (T, nb), upper (T, nb)) from the in-CSR."""
     ptr = jnp.asarray(g.in_row_ptr)

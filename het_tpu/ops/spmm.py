@@ -43,6 +43,9 @@ Array = jax.Array
 
 
 def _segment_max_dst(g: HeteroGraph, edge_vals: Array) -> Array:
+    # note: a Pallas seg-max exists (pallas/seg_reduce.py) but measures
+    # slower than XLA's sorted segment_max here (VPU column loop + grid
+    # overhead vs tiny payload), so XLA stays the default for both backends
     out = jax.ops.segment_max(
         edge_vals,
         g.dst,

@@ -61,3 +61,20 @@ def test_seg_sum_grad_is_gather(rng):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-4, atol=1e-5)
     assert np.all(np.asarray(gp)[g.num_edges:] == 0)
+
+
+def test_seg_max_matches_xla(rng):
+    from het_tpu.ops.pallas.seg_reduce import seg_max_dst_pallas_raw
+
+    g = _toy(seed=4)
+    vals = jnp.asarray(
+        rng.standard_normal((g.num_padded_edges, 4), dtype=np.float32)
+    )
+    # mask padding lanes to -inf like the stable-softmax caller does
+    masked = jnp.where(g.edge_valid[:, None], vals, -jnp.inf)
+    want = jax.ops.segment_max(
+        masked, g.dst, num_segments=g.num_nodes + 1, indices_are_sorted=True
+    )[: g.num_nodes]
+    want = np.where(np.isfinite(np.asarray(want)), np.asarray(want), 0.0)
+    got = seg_max_dst_pallas_raw(g, masked, interpret=True, nb=16, chunk=128)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
