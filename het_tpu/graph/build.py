@@ -135,6 +135,7 @@ def build_heterograph(
     build_compact: bool = True,
     force_sizes: Optional[dict] = None,
     src_space: Optional[int] = None,
+    node_ntype: Optional[np.ndarray] = None,
 ) -> HeteroGraph:
     """Build a :class:`HeteroGraph` from COO arrays (any edge order).
 
@@ -206,19 +207,39 @@ def build_heterograph(
         edge_rel_seg, row_valid=np.ascontiguousarray(erv)
     )
 
-    if ntype_offsets is None:
-        ntype_offsets = (0, num_nodes)
-    ntype_offsets = tuple(int(o) for o in ntype_offsets)
-    num_ntypes = len(ntype_offsets) - 1
-    if num_ntypes > 1:
-        node_ntype = np.zeros(num_nodes, dtype=np.int64)
-        for t in range(num_ntypes):
-            node_ntype[ntype_offsets[t] : ntype_offsets[t + 1]] = t
-        ntype_seg = build_segments(node_ntype, num_ntypes, tile)
-    else:
+    # node types: either contiguous ranges (ntype_offsets) or an explicit
+    # per-node array (partitioned shards, where a contiguous dst-range can
+    # span type boundaries — het_tpu/parallel/partition.py)
+    if node_ntype is not None:
+        node_ntype = np.asarray(node_ntype, dtype=np.int64)
+        assert node_ntype.shape[0] == num_nodes
+        num_ntypes = int(node_ntype.max()) + 1 if num_nodes else 1
+        if ntype_offsets is None:
+            ntype_offsets = (0, num_nodes)
+        ntype_offsets = tuple(int(o) for o in ntype_offsets)
+        num_ntypes = max(num_ntypes, len(ntype_offsets) - 1)
         ntype_seg = build_segments(
-            np.zeros(num_nodes, dtype=np.int64), 1, tile
+            node_ntype, num_ntypes, tile,
+            force_rows=force_sizes.get("ntype_rows"),
         )
+    else:
+        if ntype_offsets is None:
+            ntype_offsets = (0, num_nodes)
+        ntype_offsets = tuple(int(o) for o in ntype_offsets)
+        num_ntypes = len(ntype_offsets) - 1
+        if num_ntypes > 1:
+            node_ntype = np.zeros(num_nodes, dtype=np.int64)
+            for t in range(num_ntypes):
+                node_ntype[ntype_offsets[t] : ntype_offsets[t + 1]] = t
+            ntype_seg = build_segments(
+                node_ntype, num_ntypes, tile,
+                force_rows=force_sizes.get("ntype_rows"),
+            )
+        else:
+            ntype_seg = build_segments(
+                np.zeros(num_nodes, dtype=np.int64), 1, tile,
+                force_rows=force_sizes.get("ntype_rows"),
+            )
 
     compact_src = compact_dst = None
     if build_compact:

@@ -54,8 +54,18 @@ class HGTLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, g: HeteroGraph, h: Array, *, deterministic: bool = True
+        self,
+        g: HeteroGraph,
+        h: Array,
+        *,
+        halo=None,
+        deterministic: bool = True,
     ) -> Array:
+        # halo: optional collective applied to the per-node k/v projections
+        # before src-side use (distributed mode: all-gather of shard-local
+        # projections into the padded-global source space; None = identity)
+        if halo is None:
+            halo = lambda t: t  # noqa: E731
         H = self.num_heads
         d_k = self.out_dim // H
         sqrt_dk = math.sqrt(d_k)
@@ -121,9 +131,9 @@ class HGTLayer(nn.Module):
                 out, deterministic=deterministic
             )
 
-        k = ops.ntype_linear(g, h, k_w)  # (N, H, d_k)
-        q = ops.ntype_linear(g, h, q_w)
-        v = ops.ntype_linear(g, h, v_w)
+        k = halo(ops.ntype_linear(g, h, k_w))  # (src_space, H, d_k)
+        q = ops.ntype_linear(g, h, q_w)  # (N, H, d_k) — dst side, local
+        v = halo(ops.ntype_linear(g, h, v_w))
 
         if self.compact:
             # attn_weight·q once per unique (rel, dst) (models.py:179-210)

@@ -96,6 +96,14 @@ class DPGNN:
         self.mesh = mesh
         self.axis = axis
 
+    @staticmethod
+    def _is_halo_style(layer) -> bool:
+        """Layers that take local features + an internal halo hook (HGT)
+        vs gathered-x + x_dst style (RGAT/RGCN/GAT)."""
+        from ..models.hgt import HGTLayer
+
+        return isinstance(layer, HGTLayer)
+
     def init(self, key, sg: HeteroGraph, x: Array) -> List:
         """Initialize per-layer params by running shard 0 single-device."""
         g_local = jax.tree.map(lambda a: a[0], sg)
@@ -103,11 +111,20 @@ class DPGNN:
         params = []
         h = jnp.asarray(x)
         h_loc = h[: g_local.num_nodes]
+
+        def tile_halo(t):
+            return jnp.tile(t, (n_parts,) + (1,) * (t.ndim - 1))
+
         for layer in self.layers:
             key, k = jax.random.split(key)
-            p = layer.init(k, g_local, h, x_dst=h_loc)
-            params.append(p)
-            h_loc = layer.apply(p, g_local, h, x_dst=h_loc)
+            if self._is_halo_style(layer):
+                p = layer.init(k, g_local, h_loc, halo=tile_halo)
+                params.append(p)
+                h_loc = layer.apply(p, g_local, h_loc, halo=tile_halo)
+            else:
+                p = layer.init(k, g_local, h, x_dst=h_loc)
+                params.append(p)
+                h_loc = layer.apply(p, g_local, h, x_dst=h_loc)
             h = jnp.tile(h_loc, (n_parts, 1))
         return params
 
@@ -115,11 +132,21 @@ class DPGNN:
         axis = self.axis
         layers = self.layers
 
+        halo_style = [self._is_halo_style(l) for l in layers]
+
         def fwd(params, g_local, x_loc):
             h = x_loc
-            for layer, p in zip(layers, params):
-                h_glob = halo_gather(h, axis)
-                h = layer.apply(p, g_local, h_glob, x_dst=h)
+            for layer, p, hs in zip(layers, params, halo_style):
+                if hs:
+                    # HGT: per-node projections happen locally; only the
+                    # projected k/v cross shards (smaller halo than raw x)
+                    h = layer.apply(
+                        p, g_local, h,
+                        halo=lambda t: halo_gather(t, axis),
+                    )
+                else:
+                    h_glob = halo_gather(h, axis)
+                    h = layer.apply(p, g_local, h_glob, x_dst=h)
             return h
 
         return dp_apply(fwd, params, sg, x, self.mesh, axis=axis)

@@ -80,6 +80,7 @@ def _force_size_keys(g: HeteroGraph) -> dict:
     d = {
         "num_padded_edges": g.num_padded_edges,
         "edge_rel_rows": g.edge_rel_seg.n_rows,
+        "ntype_rows": g.ntype_seg.n_rows,
     }
     if g.compact_src is not None:
         d["compact_src_rows"] = g.compact_src.seg.n_rows
@@ -97,6 +98,7 @@ def partition_by_dst(
     *,
     tile: int = 128,
     build_compact: bool = False,
+    ntype_offsets=None,
 ) -> Tuple[HeteroGraph, PartitionInfo]:
     """Split edges into ``n_parts`` contiguous destination ranges; return
     identically-shaped per-part HeteroGraphs **stacked** on a leading axis
@@ -118,6 +120,27 @@ def partition_by_dst(
     n_glob = info.num_padded_global_nodes
     part_of_dst = dst // orig_per
 
+    # per-node types in original ids (contiguous type ranges globally; a
+    # shard's dst range may span type boundaries, so shards carry an
+    # explicit node_ntype array)
+    node_ntype_glob = None
+    num_ntypes = 1
+    if ntype_offsets is not None:
+        ntype_offsets = tuple(int(o) for o in ntype_offsets)
+        num_ntypes = len(ntype_offsets) - 1
+        node_ntype_glob = np.zeros(num_nodes, dtype=np.int64)
+        for t in range(num_ntypes):
+            node_ntype_glob[ntype_offsets[t] : ntype_offsets[t + 1]] = t
+
+    def _part_ntype(p: int):
+        if node_ntype_glob is None:
+            return None
+        lo = p * orig_per
+        hi = min(lo + orig_per, num_nodes)
+        out = np.zeros(per, dtype=np.int64)
+        out[: hi - lo] = node_ntype_glob[lo:hi]
+        return out
+
     def build_part(p: int, force: Optional[dict]) -> HeteroGraph:
         m = part_of_dst == p
         return build_heterograph(
@@ -130,6 +153,10 @@ def partition_by_dst(
             build_compact=build_compact,
             force_sizes=force,
             src_space=n_glob,
+            node_ntype=_part_ntype(p),
+            ntype_offsets=(0,) * num_ntypes + (per,)
+            if node_ntype_glob is not None
+            else None,
         )
 
     # three sizing passes: forcing the padded edge total changes the
