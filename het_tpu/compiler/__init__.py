@@ -9,6 +9,7 @@ from .frontend import parse_dsl  # noqa: F401
 from .serialize import dumps, loads  # noqa: F401
 from .passes import PassManager, Pass, run_default  # noqa: F401
 from .autodiff import differentiate  # noqa: F401
+from .fuse import fuse_edge_softmax  # noqa: F401
 from .lower import compile_program, emit_python  # noqa: F401
 
 

@@ -1,0 +1,100 @@
+"""Operator fusion pass.
+
+The reference designed fusion containers (``TraversalFusedOp`` /
+``GEMMFusedOp``, hrt/pyctor/ir/InterOpSSA/operators.py:1350-1401) but left
+``OpFuserPass.run`` an empty stub (transforms/InterOpSSA/op_fuser.py:26-29).
+On TPU, XLA already fuses elementwise chains; the fusion that actually
+matters is the **edge-softmax-aggregate motif** — the one place where the
+unfused form forces multiple HBM round trips over per-edge tensors and a
+separate denominator reduction.  This pass pattern-matches the motif
+
+    z    = Exponential(logits)
+    s    = NodeSumAccumulation(z)
+    attn = ScalarDivide(z, s)
+    t    = EdgeScalarVectorMul(attn, msg)
+    out  = NodeSumAccumulation(t)
+
+and rewrites it into one ``FusedEdgeSoftmaxAgg(logits, msg)`` op, which the
+lowering executes with the single-pass packed Pallas aggregation
+(ops.edge_softmax_weighted_sum: numerator and denominator in one
+one-hot-MXU segment sum)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from .ir import OP_DEFS, Op, OpDef, Program, Var
+
+OP_DEFS.setdefault(
+    "FusedEdgeSoftmaxAgg", OpDef(("logits", "msg"), None)
+)
+
+
+def _use_counts(prog: Program) -> Dict[Tuple[str, str], int]:
+    uses: Dict[Tuple[str, str], int] = {}
+    for op in prog.ops:
+        for v in op.inputs.values():
+            uses[(v.kind, v.name)] = uses.get((v.kind, v.name), 0) + 1
+    return uses
+
+
+def fuse_edge_softmax(prog: Program) -> int:
+    """Apply the edge-softmax-aggregate fusion; returns rewrites applied."""
+    producers = prog.producers()
+    uses = _use_counts(prog)
+    fused = 0
+    remove: set = set()
+    replacements: List[Tuple[Op, Op]] = []
+
+    for op in prog.ops:
+        # anchor on the final aggregation
+        if op.kind != "NodeSumAccumulation":
+            continue
+        t = producers.get(
+            (op.inputs["input"].kind, op.inputs["input"].name)
+        )
+        if t is None or t.kind != "EdgeScalarVectorMul":
+            continue
+        attn = producers.get(
+            (t.inputs["scalar"].kind, t.inputs["scalar"].name)
+        )
+        if attn is None or attn.kind != "ScalarDivide":
+            continue
+        z_var = attn.inputs["left"]
+        s_var = attn.inputs["right"]
+        z = producers.get((z_var.kind, z_var.name))
+        s = producers.get((s_var.kind, s_var.name))
+        if z is None or z.kind != "Exponential":
+            continue
+        if s is None or s.kind != "NodeSumAccumulation":
+            continue
+        sz = s.inputs["input"]
+        if (sz.kind, sz.name) != (z_var.kind, z_var.name):
+            continue
+        # the softmax intermediates must have no other consumers
+        if uses.get((z_var.kind, z_var.name), 0) > 2:  # s-sum + divide
+            continue
+        if uses.get((s_var.kind, s_var.name), 0) > 1:
+            continue
+        logits = z.inputs["input"]
+        msg = t.inputs["vector"]
+        replacements.append(
+            (
+                op,
+                Op(
+                    "FusedEdgeSoftmaxAgg",
+                    {"logits": logits, "msg": msg},
+                    op.outputs,
+                ),
+            )
+        )
+        for dead in (t, attn, z, s):
+            remove.add(id(dead))
+        fused += 1
+
+    if fused:
+        rep = {id(old): new for old, new in replacements}
+        prog.ops = [
+            rep.get(id(o), o) for o in prog.ops if id(o) not in remove
+        ]
+    return fused

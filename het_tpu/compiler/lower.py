@@ -273,6 +273,12 @@ def _exec_op(env: _Env, op: Op) -> None:
         )
         return
 
+    if k == "FusedEdgeSoftmaxAgg":
+        logits = env.as_edge(op.inputs["logits"])
+        msg = env.as_edge(op.inputs["msg"])
+        env.set(out, ops.edge_softmax_weighted_sum(g, logits, msg))
+        return
+
     if k == "ExpandCompact":
         val, _ = env.lookup(op.inputs["input"])
         side = op.attrs.get("side", "src")

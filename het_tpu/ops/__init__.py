@@ -26,6 +26,7 @@ from .linear import (  # noqa: F401
 )
 from .spmm import (  # noqa: F401
     edge_softmax,
+    edge_softmax_weighted_sum,
     hgt_edge_softmax,
     hgt_softmax_weighted_agg,
     inner_product_edge_node,

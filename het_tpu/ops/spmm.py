@@ -171,6 +171,37 @@ def hgt_softmax_weighted_agg(
     return scatter_sum_dst(g, message_e * alpha[..., None])
 
 
+def edge_softmax_weighted_sum(
+    g: HeteroGraph, logits: Array, vec_e: Array, *, stable: bool = False
+) -> Array:
+    """out[dst] = sum_e softmax_dst(logits)_e * vec_e — the generic fused
+    edge-softmax aggregation (compiler fusion target; relational_fused_gat
+    and the HGT aggregation are special cases).  logits (EP, H) or (EP,);
+    vec_e (EP, [H,] D)."""
+    squeeze = logits.ndim == 1
+    if squeeze:
+        logits = logits[:, None]
+        vec_e = vec_e[:, None, :]
+    if stable:
+        m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
+        logits = logits - gather_dst(g, m)
+    z = g.edge_mask(jnp.exp(logits))  # (EP, H)
+    EP, H = z.shape
+    D = vec_e.shape[-1]
+    from . import get_backend
+
+    if get_backend() == "pallas":
+        zf = (vec_e * z[..., None]).reshape(EP, H * D)
+        agg = scatter_sum_dst(g, jnp.concatenate([z, zf], axis=1))
+        s, out_raw = agg[:, :H], agg[:, H:].reshape(-1, H, D)
+        out = safe_div(out_raw, s[..., None])
+    else:
+        s = scatter_sum_dst(g, z)
+        alpha = safe_div(z, gather_dst(g, s))
+        out = scatter_sum_dst(g, vec_e * alpha[..., None])
+    return out[:, 0, :] if squeeze else out
+
+
 def rgcn_norm(g: HeteroGraph, kind: str = "in_degree") -> Array:
     """Per-edge normalization constants, canonical order (EP,).
 

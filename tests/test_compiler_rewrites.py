@@ -103,3 +103,31 @@ def test_compact_sinks_through_elementwise():
         if op.kind == "EdgeInnerProduct" and op.attrs.get("compact")
     ]
     assert len(compact_ips) == 2
+
+
+def test_fusion_pass():
+    """The edge-softmax-aggregate motif fuses to one op with identical
+    numerics (the reference's OpFuser is an empty stub; this is the real
+    thing)."""
+    from het_tpu.compiler import compile_program, fuse_edge_softmax, parse_dsl
+    from het_tpu.compiler.passes import run_default
+
+    g = _toy(seed=4)
+    x, W, a = _rgat_data(g)
+    prog = run_default(parse_dsl(RGAT_DSL))
+    base = compile_program(prog)(
+        g, {"feature": x}, {"W": W, "attn_vec": a}
+    )["output"]
+
+    prog2 = run_default(parse_dsl(RGAT_DSL))
+    n_before = len(prog2.ops)
+    n = fuse_edge_softmax(prog2)
+    assert n == 1
+    assert len(prog2.ops) == n_before - 4  # 5 ops became 1
+    assert any(op.kind == "FusedEdgeSoftmaxAgg" for op in prog2.ops)
+    got = compile_program(prog2)(
+        g, {"feature": x}, {"W": W, "attn_vec": a}
+    )["output"]
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(got), rtol=1e-4, atol=1e-5
+    )
