@@ -77,3 +77,31 @@ def test_roofline_report():
         g, {"typed_linear_src": 1.0}, f_in=64, heads=4, d_out=16
     )
     assert "speed_of_light_pct" in rep
+
+
+def test_early_stopping():
+    from het_tpu.utils.misc import EarlyStopping
+
+    es = EarlyStopping(patience=2, mode="min")
+    vals = [1.0, 0.8, 0.9, 0.85, 0.84]
+    stops = [es.update(v, i) for i, v in enumerate(vals)]
+    # 0.9 and 0.85 both fail to beat 0.8 -> patience exhausted at index 3
+    assert stops == [False, False, False, True, True]
+    assert es.best == 0.8 and es.best_step == 1
+
+
+def test_build_info_and_warn_defaults():
+    import warnings as w
+
+    from het_tpu.utils.misc import build_info, warn_default_arguments
+
+    assert "het_tpu @" in build_info()
+
+    @warn_default_arguments
+    def f(a, b=2):
+        return a + b
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        f(1)
+        assert any("default" in str(r.message) for r in rec)
