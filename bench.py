@@ -33,37 +33,43 @@ def main() -> None:
     # (full mag is 21M edges — too large for a smoke benchmark)
     data = load_dataset("mag", tile=128, num_classes=8, scale=0.018)
     g = data.graph
-    model = RGATModel(
-        in_feat=f_in, hidden=hidden, num_classes=8, num_rels=g.num_rels,
-        num_heads=heads, num_layers=1, dropout=0.0, stable_softmax=True,
-    )
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (g.num_nodes, f_in))
-    ops.set_backend("xla")
-    params = model.init(jax.random.PRNGKey(1), g, x)
     labels = jnp.asarray(data.labels) % 8
 
-    def step(x):
-        def loss_fn(p):
-            logits = model.apply(p, g, x)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(
-                jnp.take_along_axis(logp, labels[:, None], axis=1)
-            )
+    def make_step(model, params):
+        def step(x):
+            def loss_fn(p):
+                logits = model.apply(p, g, x)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return -jnp.mean(
+                    jnp.take_along_axis(logp, labels[:, None], axis=1)
+                )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        return loss, grads
+            return jax.value_and_grad(loss_fn)(params)
 
-    def timed(backend):
+        return step
+
+    def timed(backend, **model_kw):
+        model = RGATModel(
+            in_feat=f_in, hidden=hidden, num_classes=8,
+            num_rels=g.num_rels, num_heads=heads, num_layers=1,
+            dropout=0.0, stable_softmax=True, **model_kw,
+        )
+        ops.set_backend("xla")
+        params = model.init(jax.random.PRNGKey(1), g, x)
         ops.set_backend(backend)
         try:
-            return op_time_ms(step, x, n1=3, n2=18, trials=3)
+            return op_time_ms(make_step(model, params), x, n1=2, n2=14,
+                              trials=2)
         finally:
             ops.set_backend("xla")
 
     t_xla = timed("xla")
     t_pallas = timed("pallas")
-    t_best = min(t_pallas, t_xla)
+    # Hector's signature optimizations, on by flag (paper headline config)
+    t_opt = timed("pallas", compact=True, multiply_first=True)
+    t_best = min(t_pallas, t_xla, t_opt)
     edges_per_s = g.num_edges / (t_best / 1e3)
     print(
         json.dumps(
@@ -74,6 +80,7 @@ def main() -> None:
                 "vs_baseline": round(t_xla / t_best, 3),
                 "detail": {
                     "t_pallas_ms": round(t_pallas, 3),
+                    "t_pallas_compact_multfirst_ms": round(t_opt, 3),
                     "t_xla_ms": round(t_xla, 3),
                     "num_edges": g.num_edges,
                     "num_nodes": g.num_nodes,
