@@ -48,6 +48,16 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot_precision(dtype):
+    """HIGHEST (exact f32 on the MXU) for f32 operands; bf16 runs native —
+    Mosaic rejects HIGHEST on bf16 inputs."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _itemsize(x) -> int:
     return np.dtype(x.dtype).itemsize
 
@@ -76,7 +86,7 @@ def _choose_block_rows(tile: int, n_rows: int, target: int = 1024) -> int:
 # ------------------------------------------------- forward (W-resident)
 
 
-def _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt):
+def _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt, prec):
     def kernel(ts_ref, x_ref, w_ref, o_ref):
         # x_ref: (G*T, Hx*K); o_ref: (G*T, H*O)
         # w_ref: (S, K, H*O) head-folded when Hx == 1, else (S, H, K, O)
@@ -95,7 +105,7 @@ def _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt):
                         w_ref[rel],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     ).astype(o_ref.dtype)
                 else:
                     for h in range(H):
@@ -104,7 +114,7 @@ def _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt):
                             w_ref[rel, h],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=prec,
                         ).astype(o_ref.dtype)
 
     return kernel
@@ -133,7 +143,8 @@ def _fwd_resident(x_rows, w, seg, interpret):
         out_specs=pl.BlockSpec((BT, H * O), lambda i, ts: (i, 0)),
     )
     out = pl.pallas_call(
-        _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt),
+        _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt,
+                                  _dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
         interpret=interpret,
@@ -150,7 +161,7 @@ def _fwd_resident(x_rows, w, seg, interpret):
 # ---------------------------------------------------------------- forward
 
 
-def _make_fwd_kernel(H: int, Hx: int, K: int, O: int):
+def _make_fwd_kernel(H: int, Hx: int, K: int, O: int, prec=None):
     def kernel(tile_seg_ref, x_ref, w_ref, o_ref):
         # x_ref: (T, Hx*K); w_ref: (1, H, K, O); o_ref: (T, H*O)
         for h in range(H):
@@ -162,7 +173,7 @@ def _make_fwd_kernel(H: int, Hx: int, K: int, O: int):
                 w_ref[0, h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             ).astype(o_ref.dtype)
 
     return kernel
@@ -178,6 +189,10 @@ def segment_matmul_rows_fwd(
     """(n_rows, [H|1,] K) x (S, H, K, O) -> (n_rows, H, O)."""
     if interpret is None:
         interpret = _interpret_default()
+    # Mosaic requires matching operand dtypes on the MXU
+    common = jnp.promote_types(x_rows.dtype, w.dtype)
+    x_rows = x_rows.astype(common)
+    w = w.astype(common)
     S, H, K, O = w.shape
     T, nt = seg.tile, seg.n_tiles
     assert x_rows.shape[0] == seg.n_rows
@@ -196,7 +211,7 @@ def segment_matmul_rows_fwd(
         out_specs=pl.BlockSpec((T, H * O), lambda i, ts: (i, 0)),
     )
     out = pl.pallas_call(
-        _make_fwd_kernel(H, Hx, K, O),
+        _make_fwd_kernel(H, Hx, K, O, prec=_dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
         interpret=interpret,
@@ -213,7 +228,7 @@ def segment_matmul_rows_fwd(
 # ------------------------------------------------- dX / dW (W-resident)
 
 
-def _make_dx_resident_kernel(H, Hx, K, O, T, G, nt):
+def _make_dx_resident_kernel(H, Hx, K, O, T, G, nt, prec):
     def kernel(ts_ref, ct_ref, wt_ref, o_ref):
         # Hx == 1: wt_ref is (S, H*O, K) head-folded — one MXU call does the
         # head reduction.  Hx == H: per-head (S, H, O, K).
@@ -231,7 +246,7 @@ def _make_dx_resident_kernel(H, Hx, K, O, T, G, nt):
                         wt_ref[rel],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     ).astype(o_ref.dtype)
                 else:
                     for h in range(H):
@@ -240,7 +255,7 @@ def _make_dx_resident_kernel(H, Hx, K, O, T, G, nt):
                             wt_ref[rel, h],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=prec,
                         ).astype(o_ref.dtype)
 
     return kernel
@@ -270,7 +285,8 @@ def _dx_resident(ct_rows, w, seg, x3, x_heads, interpret):
         out_specs=pl.BlockSpec((BT, out_cols), lambda i, ts: (i, 0)),
     )
     out = pl.pallas_call(
-        _make_dx_resident_kernel(H, Hx, K, O, T, G, nt),
+        _make_dx_resident_kernel(H, Hx, K, O, T, G, nt,
+                                 _dot_precision(ct_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
         interpret=interpret,
@@ -280,7 +296,7 @@ def _dx_resident(ct_rows, w, seg, x3, x_heads, interpret):
     return out
 
 
-def _make_dw_resident_kernel(H, Hx, K, O, T, G, nt):
+def _make_dw_resident_kernel(H, Hx, K, O, T, G, nt, prec):
     def kernel(ts_ref, x_ref, ct_ref, o_ref):
         # o_ref resident across the whole grid:
         #   Hx == 1: (S, K, H*O) head-folded; else (S, H, K, O)
@@ -303,7 +319,7 @@ def _make_dw_resident_kernel(H, Hx, K, O, T, G, nt):
                         ct_ref[rows, :],
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     )
                     o_ref[rel] = o_ref[rel] + acc.astype(o_ref.dtype)
                 else:
@@ -313,7 +329,7 @@ def _make_dw_resident_kernel(H, Hx, K, O, T, G, nt):
                             ct_ref[rows, h * O : (h + 1) * O],
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=prec,
                         )
                         o_ref[rel, h] = o_ref[rel, h] + acc.astype(o_ref.dtype)
 
@@ -342,7 +358,8 @@ def _dw_resident(x_rows, ct_rows, w_shape, seg, interpret):
         out_specs=out_spec,
     )
     out = pl.pallas_call(
-        _make_dw_resident_kernel(H, Hx, K, O, T, G, nt),
+        _make_dw_resident_kernel(H, Hx, K, O, T, G, nt,
+                                 _dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -356,7 +373,7 @@ def _dw_resident(x_rows, ct_rows, w_shape, seg, interpret):
 # ---------------------------------------------------------------- dX
 
 
-def _make_dx_kernel(H: int, Hx: int, K: int, O: int):
+def _make_dx_kernel(H: int, Hx: int, K: int, O: int, prec=None):
     reduce_heads = Hx == 1 and H > 1
 
     def kernel(tile_seg_ref, ct_ref, wt_ref, o_ref):
@@ -369,7 +386,7 @@ def _make_dx_kernel(H: int, Hx: int, K: int, O: int):
                     wt_ref[0, h],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )
             o_ref[...] = acc.astype(o_ref.dtype)
         else:
@@ -379,7 +396,7 @@ def _make_dx_kernel(H: int, Hx: int, K: int, O: int):
                     wt_ref[0, h],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 ).astype(o_ref.dtype)
 
     return kernel
@@ -398,6 +415,9 @@ def segment_matmul_rows_dx(
     forward input was head-broadcast."""
     if interpret is None:
         interpret = _interpret_default()
+    common = jnp.promote_types(ct_rows.dtype, w.dtype)
+    ct_rows = ct_rows.astype(common)
+    w = w.astype(common)
     S, H, K, O = w.shape
     T, nt = seg.tile, seg.n_tiles
     if w.size * _itemsize(w) <= W_RESIDENT_BYTES:
@@ -418,7 +438,7 @@ def segment_matmul_rows_dx(
         out_specs=pl.BlockSpec((T, out_cols), lambda i, ts: (i, 0)),
     )
     out = pl.pallas_call(
-        _make_dx_kernel(H, Hx, K, O),
+        _make_dx_kernel(H, Hx, K, O, prec=_dot_precision(ct_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
         interpret=interpret,
@@ -431,7 +451,7 @@ def segment_matmul_rows_dx(
 # ---------------------------------------------------------------- dW
 
 
-def _make_dw_kernel(H: int, Hx: int, K: int, O: int):
+def _make_dw_kernel(H: int, Hx: int, K: int, O: int, prec=None):
     def kernel(tile_seg_ref, first_ref, x_ref, ct_ref, o_ref):
         # x_ref: (T, Hx*K); ct_ref: (T, H*O); o_ref: (1, H, K, O)
         i = pl.program_id(0)
@@ -444,7 +464,7 @@ def _make_dw_kernel(H: int, Hx: int, K: int, O: int):
                 ct_ref[:, h * O : (h + 1) * O],
                 dimension_numbers=(((0,), (0,)), ((), ())),  # x^T @ ct
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
 
             @pl.when(first_ref[i] == 1)
@@ -469,6 +489,9 @@ def segment_matmul_rows_dw(
     """dW[s, h] = sum over rows of segment s of x_row^T ct_row[h]."""
     if interpret is None:
         interpret = _interpret_default()
+    common = jnp.promote_types(x_rows.dtype, ct_rows.dtype)
+    x_rows = x_rows.astype(common)
+    ct_rows = ct_rows.astype(common)
     S, H, K, O = w_shape
     T, nt = seg.tile, seg.n_tiles
     if int(np.prod(w_shape)) * 4 <= W_RESIDENT_BYTES:
@@ -491,7 +514,7 @@ def segment_matmul_rows_dw(
         ),
     )
     return pl.pallas_call(
-        _make_dw_kernel(H, Hx, K, O),
+        _make_dw_kernel(H, Hx, K, O, prec=_dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, H, K, O), jnp.float32),
         interpret=interpret,

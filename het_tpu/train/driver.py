@@ -116,7 +116,9 @@ def train(
     k_embed, k_model, k_drop = jax.random.split(key, 3)
 
     model = build_model(cfg, data)
-    embed = NodeEmbed(num_nodes=g.num_nodes, embed_dim=cfg.n_infeat)
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    embed = NodeEmbed(num_nodes=g.num_nodes, embed_dim=cfg.n_infeat,
+                      param_dtype=dt)
     e_params = embed.init(k_embed)
     x0 = embed.apply(e_params)
     m_params = model.init(k_model, g, x0)
