@@ -120,9 +120,42 @@ def scatter_sum_dst(g, edge_vals: Array) -> Array:
     )
 
 
+@jax.custom_vjp
+def _scatter_sum_src_pallas(vals2d: Array, g) -> Array:
+    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+
+    vals_p = take_rows(vals2d, g.out_perm)
+    return seg_sum_sorted_pallas_raw(
+        vals_p,
+        g.out_row_ptr,
+        g.src_space,
+        g.num_padded_edges - g.num_edges,
+    )
+
+
+def _sss_fwd(vals2d, g):
+    return _scatter_sum_src_pallas(vals2d, g), g
+
+
+def _sss_bwd(g, ct):
+    # transpose of (permute to src order + sorted segment sum) is a plain
+    # gather at each edge's source (sentinel src -> zero row)
+    return take_rows(pad_zero_row(ct), g.src), None
+
+
+_scatter_sum_src_pallas.defvjp(_sss_fwd, _sss_bwd)
+
+
 def scatter_sum_src(g, edge_vals: Array) -> Array:
     """Sum per-edge rows into source nodes via the precomputed src-sorted
     permutation (``g.out_perm``), again a sorted reduction."""
+    from . import get_backend
+
+    if get_backend() == "pallas":
+        shape = edge_vals.shape
+        flat = edge_vals.reshape(shape[0], -1)
+        out = _scatter_sum_src_pallas(flat, g)
+        return out.reshape((g.src_space,) + shape[1:])
     vals_p = take_rows(edge_vals, g.out_perm)
     idx_p = jnp.take(g.src, g.out_perm, axis=0)
     return scatter_sum_nodes(vals_p, idx_p, g.src_space,

@@ -100,6 +100,45 @@ def _edge_row_idx(g: HeteroGraph, side: str) -> Array:
     )
 
 
+def _make_edge_row_gather(side: str):
+    """Custom-VJP gather of node features into the edge-segment row space.
+
+    The automatic backward is an unsorted scatter-add over per-row node
+    ids (~6 ms on mag); the transpose here instead hops through edge space
+    (injective row->edge gather) and lands in a *sorted* segment reduction
+    over the src/dst CSR — the framework's fast aggregation path."""
+
+    @jax.custom_vjp
+    def gather(x, g, seg):
+        from .common import gather_nodes as _gn
+
+        return _gn(x, _edge_row_idx(g, side))
+
+    def fwd(x, g, seg):
+        return gather(x, g, seg), (g, seg)
+
+    def bwd(res, ct_rows):
+        from .common import scatter_sum_dst, scatter_sum_src, take_rows
+
+        g, seg = res
+        ct_e = take_rows(ct_rows, seg.inv)  # injective rows -> edges
+        dx = (
+            scatter_sum_src(g, ct_e)
+            if side == "src"
+            else scatter_sum_dst(g, ct_e)
+        )
+        return dx, None, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+_gather_edge_rows = {
+    "src": _make_edge_row_gather("src"),
+    "dst": _make_edge_row_gather("dst"),
+}
+
+
 def edge_typed_linear(
     g: HeteroGraph, x: Array, w: Array, side: str = "src"
 ) -> Array:
@@ -108,7 +147,8 @@ def edge_typed_linear(
     Returns (num_padded_edges, H, O) in canonical (dst-sorted) edge order;
     padding edges are exactly zero.  Reference: ``rgnn_relational_matmul``
     with separate-COO gather lists (RGNNOps.inc.h:93-238)."""
-    rows = typed_linear(x, w, g.edge_rel_seg, _edge_row_idx(g, side))
+    x_rows = _gather_edge_rows[side](x, g, g.edge_rel_seg)
+    rows = segment_matmul(x_rows, w, g.edge_rel_seg)
     return g.edge_rel_seg.scatter_back(rows)
 
 

@@ -206,10 +206,10 @@ def seg_max_dst_pallas_raw(
     return out[:N, :C_orig]
 
 
-def _tile_tables(g: HeteroGraph, nb: int) -> Tuple[Array, Array, Array]:
-    """(tile_ptr (T+1,), lower (T, nb), upper (T, nb)) from the in-CSR."""
-    ptr = jnp.asarray(g.in_row_ptr)
-    N = g.num_nodes
+def _tables_from_ptr(ptr: Array, N: int, nb: int):
+    """(tile_ptr (T+1,), lower (T, 1, nb), upper (T, 1, nb)) boundary
+    tables for any sorted segmentation given its (N+1,) row pointer."""
+    ptr = jnp.asarray(ptr)
     n_tiles = -(-N // nb)
     idx = jnp.minimum(
         jnp.arange(n_tiles + 1, dtype=jnp.int32) * nb, N
@@ -222,20 +222,28 @@ def _tile_tables(g: HeteroGraph, nb: int) -> Tuple[Array, Array, Array]:
     # minor-dims rule (each equals the full array dim)
     lower = jnp.take(ptr, node_idx)[:, None, :]
     upper = jnp.take(ptr, jnp.minimum(node_idx + 1, N))[:, None, :]
-    # nodes beyond N: empty range (lower == upper) — already true since
-    # both clamp to ptr[N]
+    # rows beyond N: empty range (lower == upper) — both clamp to ptr[N]
     return tptr, lower, upper
 
 
-def seg_sum_dst_pallas_raw(
-    g: HeteroGraph,
+def _tile_tables(g: HeteroGraph, nb: int) -> Tuple[Array, Array, Array]:
+    return _tables_from_ptr(g.in_row_ptr, g.num_nodes, nb)
+
+
+def seg_sum_sorted_pallas_raw(
     vals2d: Array,
+    row_ptr: Array,
+    N: int,
+    n_guard: int,
     *,
     interpret: Optional[bool] = None,
     nb: int = NB,
     chunk: int = CHUNK,
 ) -> Array:
-    """Sum (EP, C) rows into (N, C) by canonical destination.
+    """Sum (EP, C) rows into (N, C) over ANY sorted segmentation described
+    by its (N+1,) row pointer (dst-sorted canonical order, src-sorted
+    out-CSR order, ...).  ``n_guard`` = rows beyond ``row_ptr[N]`` that are
+    safe to over-read (sentinel padding).
 
     Mosaic requires minor-dim DMA slices to be lane-aligned, so C is padded
     to a multiple of 128 here; callers amortize the padding by batching
@@ -244,18 +252,16 @@ def seg_sum_dst_pallas_raw(
     if interpret is None:
         interpret = _interpret_default()
     EP, C = vals2d.shape
-    N = g.num_nodes
-    assert EP == g.num_padded_edges
     assert chunk % 128 == 0, "chunk must be a multiple of 128"
-    assert EP >= g.num_edges + chunk, (
-        "graph needs edge_extra >= chunk guard rows for chunked DMA"
+    assert n_guard >= chunk, (
+        "needs edge_extra >= chunk guard rows for chunked DMA"
     )
     C_orig = C
     C = -(-C // 128) * 128 if not interpret else C
     if C != C_orig:
         vals2d = jnp.pad(vals2d, ((0, 0), (0, C - C_orig)))
     n_tiles = -(-N // nb)
-    tptr, lower, upper = _tile_tables(g, nb)
+    tptr, lower, upper = _tables_from_ptr(row_ptr, N, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -284,6 +290,27 @@ def seg_sum_dst_pallas_raw(
         ),
     )(tptr, vals2d, lower, upper)
     return out[:N, :C_orig]
+
+
+def seg_sum_dst_pallas_raw(
+    g: HeteroGraph,
+    vals2d: Array,
+    *,
+    interpret: Optional[bool] = None,
+    nb: int = NB,
+    chunk: int = CHUNK,
+) -> Array:
+    """Sum (EP, C) rows into (N, C) by canonical destination."""
+    assert vals2d.shape[0] == g.num_padded_edges
+    return seg_sum_sorted_pallas_raw(
+        vals2d,
+        g.in_row_ptr,
+        g.num_nodes,
+        g.num_padded_edges - g.num_edges,
+        interpret=interpret,
+        nb=nb,
+        chunk=chunk,
+    )
 
 
 @jax.custom_vjp
