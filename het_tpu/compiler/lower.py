@@ -320,24 +320,51 @@ def compile_program(prog: Program, outputs=None) -> Callable:
 
 
 def emit_python(prog: Program, name: str = "compiled_program") -> str:
-    """Render the program as standalone Python source over het_tpu.ops —
-    the readable codegen artifact."""
+    """Render the program as standalone, executable Python source — the
+    inspectable codegen artifact (analogue of the reference's generated
+    ``.gen.py`` files, which upstream are empty placeholders).
+
+    The emitted function replays the op list through the same per-op
+    executor used by :func:`compile_program`, so emitted source and the
+    compiled closure are behaviourally identical by construction."""
     lines = [
         f"def {name}(g, inputs, weights):",
-        "    import jax, jax.numpy as jnp",
-        "    from het_tpu import ops",
-        "    env = {}",
+        "    from het_tpu.compiler.ir import Op, Var",
+        "    from het_tpu.compiler.lower import _Env, _exec_op",
+        "    env = _Env(g)",
     ]
     for v in prog.inputs:
-        lines.append(f"    env[{(v.kind, v.name)!r}] = inputs[{v.name!r}]")
+        lines.append(
+            f"    env.set(Var({v.kind!r}, {v.name!r}), inputs[{v.name!r}])"
+        )
     for v in prog.weights:
-        lines.append(f"    env[{(v.kind, v.name)!r}] = weights[{v.name!r}]")
+        lines.append(
+            f"    env.set(Var({v.kind!r}, {v.name!r}), weights[{v.name!r}])"
+        )
     for op in prog.ops:
-        args = ", ".join(f"{k}={v}" for k, v in op.inputs.items())
+        ins = ", ".join(
+            f"{k!r}: Var({v.kind!r}, {v.name!r})"
+            for k, v in op.inputs.items()
+        )
+        outs = ", ".join(
+            f"Var({o.kind!r}, {o.name!r})" for o in op.outputs
+        )
         lines.append(f"    # {op}")
-    lines.append("    return env")
+        lines.append(
+            f"    _exec_op(env, Op({op.kind!r}, {{{ins}}}, ({outs},), "
+            f"{op.attrs!r}))"
+        )
+    read = {v.name for op in prog.ops for v in op.inputs.values()}
+    outs = [
+        o for op in prog.ops for o in op.outputs if o.name not in read
+    ]
+    ret = ", ".join(
+        f"{o.name!r}: env.lookup(Var({o.kind!r}, {o.name!r}))[0]"
+        for o in outs
+    )
+    lines.append(f"    return {{{ret}}}")
     header = (
-        '"""Auto-generated by het_tpu.compiler (Inter-Op SSA -> Python).\n'
-        "Structure only; execution uses compile_program's closure.\"\"\"\n"
+        '"""Auto-generated by het_tpu.compiler '
+        '(Inter-Op SSA -> Python).\"\"\"\n'
     )
     return header + "\n".join(lines) + "\n"

@@ -175,3 +175,23 @@ def test_compiled_program_jits():
         lambda x, W, a: fn(g, {"feature": x}, {"W": W, "attn_vec": a})
     )(x, W, a)
     assert np.all(np.isfinite(np.asarray(out["output"])))
+
+
+def test_emit_python_is_executable():
+    """The emitted source must exec and reproduce the compiled closure."""
+    from het_tpu.compiler import emit_python
+
+    g = _toy(seed=3)
+    fn, prog = compile_dsl(RGAT_DSL)
+    x = jnp.ones((g.num_nodes, 4))
+    W = jnp.ones((g.num_rels, 4, 4)) * 0.1
+    a = jnp.ones((g.num_rels, 4)) * 0.1
+    want = fn(g, {"feature": x}, {"W": W, "attn_vec": a})["output"]
+
+    src = emit_python(prog, "generated")
+    ns = {}
+    exec(src, ns)
+    got = ns["generated"](g, {"feature": x}, {"W": W, "attn_vec": a})[
+        "output"
+    ]
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-6)
