@@ -49,7 +49,8 @@ class NeighborSampler:
         self.nbr_rel = packed[:, 1]
 
     def sample(self, seeds: np.ndarray, *, tile: int = 8,
-               pad_edges_to: Optional[int] = None) -> tuple:
+               pad_edges_to: Optional[int] = None,
+               pad_nodes_to: Optional[int] = None) -> tuple:
         """Returns (subgraph, node_map) where node_map[i] = original id of
         local node i; seeds occupy the first ``len(seeds)`` local ids."""
         seeds = np.asarray(seeds).astype(np.int64)
@@ -81,17 +82,33 @@ class NeighborSampler:
             frontier = np.asarray(nxt, dtype=np.int64)
             if frontier.size == 0:
                 break
-        node_map = np.empty(len(visited), dtype=np.int64)
+        n_local = len(visited)
+        node_map = np.empty(n_local, dtype=np.int64)
         for orig, local in visited.items():
             node_map[local] = orig
-        force = (
-            {"num_padded_edges": pad_edges_to} if pad_edges_to else None
-        )
+        # shape-stable batches: pad node count (extra isolated nodes,
+        # mapped to node 0's features) and edge/segment row totals so jit
+        # caches hit across batches
+        if pad_nodes_to is not None:
+            assert pad_nodes_to >= n_local, (n_local, pad_nodes_to)
+            node_map = np.concatenate(
+                [node_map, np.zeros(pad_nodes_to - n_local, np.int64)]
+            )
+        num_nodes = pad_nodes_to or n_local
+        force = None
+        if pad_edges_to:
+            t = max(tile, 1)
+            force = {
+                "num_padded_edges": pad_edges_to,
+                "edge_rel_rows": -(-pad_edges_to // t) * t
+                + self.num_rels * t,
+                "ntype_rows": -(-num_nodes // t) * t,
+            }
         sub = build_heterograph(
             np.asarray(edges_s),
             np.asarray(edges_d),
             np.asarray(edges_r),
-            num_nodes=len(visited),
+            num_nodes=num_nodes,
             num_rels=self.num_rels,
             tile=tile,
             force_sizes=force,

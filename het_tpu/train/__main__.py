@@ -10,6 +10,7 @@ import json
 from .config import add_args, config_from_args
 from .driver import train
 from .link import train_link
+from .minibatch import train_minibatch
 
 
 def main() -> None:
@@ -17,7 +18,12 @@ def main() -> None:
     add_args(parser)
     args = parser.parse_args()
     cfg = config_from_args(args)
-    metrics = (train_link(cfg) if cfg.task == "link" else train(cfg))
+    if cfg.task == "link":
+        metrics = train_link(cfg)
+    elif not cfg.full_graph_training:
+        metrics = train_minibatch(cfg)
+    else:
+        metrics = train(cfg)
     slim = {
         k: v
         for k, v in metrics.items()

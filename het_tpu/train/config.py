@@ -48,6 +48,13 @@ class TrainConfig:
     logfilename: str = "metrics.json"
     no_warm_up: bool = False
     tile: int = 128
+    # early stopping on training loss (0 = disabled)
+    patience: int = 0
+    # minibatch mode (reference --full_graph_training False path)
+    batch_size: int = 1024
+    fanout: int = 10
+    num_hops: int = 2
+    max_batches: int = 100
 
 
 def add_args(parser: argparse.ArgumentParser) -> None:
@@ -87,6 +94,14 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--logfilename", type=str, default="metrics.json")
     p.add_argument("--no_warm_up", action="store_true")
     p.add_argument("--tile", type=int, default=128)
+    p.add_argument("--patience", type=int, default=0)
+    p.add_argument("--minibatch", action="store_false",
+                   dest="full_graph_training",
+                   help="neighbor-sampled minibatch training")
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--fanout", type=int, default=10)
+    p.add_argument("--num_hops", type=int, default=2)
+    p.add_argument("--max_batches", type=int, default=100)
 
 
 def config_from_args(args: argparse.Namespace) -> TrainConfig:

@@ -176,6 +176,14 @@ def train(
     force(loss if warmup else params)
     mem_peak = _device_mem_mb()
 
+    from ..utils.misc import EarlyStopping
+
+    stopper = (
+        EarlyStopping(patience=cfg.patience, mode="min")
+        if cfg.patience > 0
+        else None
+    )
+
     fwd_times, bwd_times, total_times, losses = [], [], [], []
     for epoch in range(cfg.num_epochs):
         k_drop, k1, k2 = jax.random.split(k_drop, 3)
@@ -195,6 +203,8 @@ def train(
         bwd_times.append(max(t_total - t_fwd, 0.0) * 1e3)
         total_times.append((t_total + t_fwd) * 1e3)
         losses.append(float(loss))
+        if stopper is not None and stopper.update(losses[-1], epoch):
+            break
 
     # reference metric: mean over last 3/4 of epochs (RGNNUtils.py:364-384)
     cut = len(fwd_times) // 4

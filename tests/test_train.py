@@ -97,3 +97,26 @@ def test_link_prediction():
     # trained model must beat random ranking (MRR_random ~= 0.05 at 100)
     assert m["mrr"] > 0.1
     assert 0.0 <= m["hits@10"] <= 1.0
+
+
+def test_minibatch_training():
+    from het_tpu.train import train_minibatch
+
+    cfg = TrainConfig(
+        model="RGCN",
+        dataset="aifb",
+        dataset_scale=0.05,
+        n_infeat=8,
+        hidden=8,
+        num_classes=4,
+        num_epochs=2,
+        batch_size=32,
+        fanout=4,
+        num_hops=2,
+        dropout=0.0,
+        tile=8,
+        full_graph_training=False,
+    )
+    m = train_minibatch(cfg)
+    assert m["n_batches"] >= 2
+    assert np.isfinite(m["loss_list"]).all()
