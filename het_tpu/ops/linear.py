@@ -63,13 +63,24 @@ def segment_matmul_rows(
 
 def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
     """Backend-dispatching segment matmul (XLA tile-batched einsum or the
-    Pallas kernel set in ops/pallas/segment_mm.py)."""
+    Pallas kernel set in ops/pallas/segment_mm.py).
+
+    Weights beyond the VMEM-residency budget use the XLA path even on the
+    pallas backend: the streamed per-tile Pallas variant is correct but
+    measured ~2x slower than XLA's gather-einsum at wikikg2-like relation
+    counts (535 rels, K=128) — per-grid-step overhead dominates."""
     from . import get_backend
 
     if get_backend() == "pallas":
-        from .pallas.segment_mm import segment_matmul_rows_pallas
+        import numpy as np
 
-        return segment_matmul_rows_pallas(x_rows, w, seg)
+        from .pallas.segment_mm import (
+            W_RESIDENT_BYTES,
+            segment_matmul_rows_pallas,
+        )
+
+        if w.size * np.dtype(w.dtype).itemsize <= W_RESIDENT_BYTES:
+            return segment_matmul_rows_pallas(x_rows, w, seg)
     return segment_matmul_rows(x_rows, w, seg)
 
 
