@@ -54,7 +54,7 @@ def main() -> None:
         model = RGATModel(
             in_feat=f_in, hidden=hidden, num_classes=8,
             num_rels=g.num_rels, num_heads=heads, num_layers=1,
-            dropout=0.0, stable_softmax=True, **model_kw,
+            dropout=0.0, stable_softmax="clip", **model_kw,
         )
         ops.set_backend("xla")
         params = model.init(jax.random.PRNGKey(1), g, x)
@@ -65,11 +65,13 @@ def main() -> None:
         finally:
             ops.set_backend("xla")
 
+    # two variants keep total runtime bounded (remote compiles are slow):
+    # the portable XLA lowering (baseline) and the full Pallas path with
+    # Hector's signature optimization flags (headline)
     t_xla = timed("xla")
-    t_pallas = timed("pallas")
-    # Hector's signature optimizations, on by flag (paper headline config)
     t_opt = timed("pallas", compact=True, multiply_first=True)
-    t_best = min(t_pallas, t_xla, t_opt)
+    t_pallas = t_opt
+    t_best = min(t_xla, t_opt)
     edges_per_s = g.num_edges / (t_best / 1e3)
     print(
         json.dumps(

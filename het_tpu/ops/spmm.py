@@ -71,15 +71,33 @@ def inner_product_edge_node(
     return jnp.sum(left_e * r_e, axis=-1)
 
 
+CLIP_LOGIT = 60.0  # exp(60) ~ 1e26: far from f32 overflow, preserves order
+
+
+def _stabilize(g: HeteroGraph, logits: Array, stable) -> Array:
+    """Overflow protection for the raw-exp edge softmax.
+
+    stable=False/"raw": reference parity (exp overflows past ~88);
+    stable="clip": clamp logits to +-CLIP_LOGIT — no extra passes, exact
+    softmax whenever logits are within range (always true in healthy
+    training), bounded otherwise;
+    stable=True/"max": exact max-subtracted softmax (costs a segment-max
+    pass + gather each direction)."""
+    if stable in (False, "raw"):
+        return logits
+    if stable == "clip":
+        return jnp.clip(logits, -CLIP_LOGIT, CLIP_LOGIT)
+    m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
+    return logits - gather_dst(g, m)
+
+
 def edge_softmax(
-    g: HeteroGraph, logits: Array, *, stable: bool = False
+    g: HeteroGraph, logits: Array, *, stable=False
 ) -> Array:
     """Per-destination softmax over incoming edges: (EP, H) -> (EP, H).
 
     Padding lanes come out exactly 0."""
-    if stable:
-        m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
-        logits = logits - gather_dst(g, m)
+    logits = _stabilize(g, logits, stable)
     e = g.edge_mask(jnp.exp(logits))
     s = scatter_sum_dst(g, e)
     return safe_div(e, gather_dst(g, s))
@@ -111,9 +129,7 @@ def relational_fused_gat(
         # messages into one segment-sum call (denominator + numerator),
         # dividing after aggregation (algebraically identical since the
         # denominator is constant per destination)
-        if stable:
-            m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
-            logits = logits - gather_dst(g, m)
+        logits = _stabilize(g, logits, stable)
         z = g.edge_mask(jnp.exp(logits))  # (EP, H)
         EP, H = z.shape
         D = feat_src_e.shape[-1]
@@ -156,10 +172,7 @@ def hgt_softmax_weighted_agg(
 
     if get_backend() == "pallas":
         mu_e = jnp.take(mu, g.rel, axis=0)
-        logits = score_e * mu_e
-        if stable:
-            m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
-            logits = logits - gather_dst(g, m)
+        logits = _stabilize(g, score_e * mu_e, stable)
         z = g.edge_mask(jnp.exp(logits))
         EP, H = z.shape
         D = message_e.shape[-1]
@@ -182,9 +195,7 @@ def edge_softmax_weighted_sum(
     if squeeze:
         logits = logits[:, None]
         vec_e = vec_e[:, None, :]
-    if stable:
-        m = _segment_max_dst(g, g.edge_mask(logits, fill=-jnp.inf))
-        logits = logits - gather_dst(g, m)
+    logits = _stabilize(g, logits, stable)
     z = g.edge_mask(jnp.exp(logits))  # (EP, H)
     EP, H = z.shape
     D = vec_e.shape[-1]

@@ -34,11 +34,10 @@ class TrainConfig:
     # numerics / backend
     dtype: str = "float32"  # float32 | bfloat16
     backend: str = "xla"  # xla | pallas
-    # stable (max-subtracted) edge softmax by default for training; the raw
-    # exp of the reference kernels overflows f32 once logits exceed ~88
-    # (reference has the same hazard: RGATKernelsSeparateCOO.cu.h).
-    # Disable for bit-parity activation comparisons.
-    stable_softmax: bool = True
+    # edge-softmax overflow protection: "clip" (logit clamp, no extra
+    # passes — default), "max" (exact max-subtracted), "raw" (reference
+    # parity; overflows f32 once logits exceed ~88)
+    stable_softmax: str = "clip"
     # dataset synth scale (1.0 = published size)
     dataset_scale: float = 1.0
     seed: int = 0
@@ -82,11 +81,9 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--backend", type=str, default="xla")
-    p.add_argument("--stable_softmax", action="store_true", default=True)
-    p.add_argument(
-        "--raw_softmax", action="store_false", dest="stable_softmax",
-        help="reference-parity raw exp edge softmax (overflow-prone)",
-    )
+    p.add_argument("--stable_softmax", type=str, default="clip",
+                   choices=["clip", "max", "raw"],
+                   help="edge-softmax overflow protection mode")
     p.add_argument("--dataset_scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--full_graph_training", action="store_true", default=True)
