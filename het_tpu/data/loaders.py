@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import glob
 import os
+import zlib
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -131,7 +132,10 @@ def _synthetic(
 ) -> Dataset:
     n, e, r = SYNTH_SCALES[name]
     n, e = max(int(n * scale), 64), max(int(e * scale), 256)
-    rng = np.random.default_rng(seed + hash(name) % 2**16)
+    # zlib.crc32, not hash(): str hash is salted per interpreter
+    # (PYTHONHASHSEED), which would make the "deterministic" stand-in
+    # differ on every run (ADVICE r1).
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 2**16)
     # power-law-ish dst degrees, like real KGs
     w = 1.0 / np.sqrt(1.0 + rng.permutation(n))
     w /= w.sum()

@@ -32,7 +32,11 @@ def _try_load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
+    src = os.path.join(_NATIVE_DIR, "graphops.cpp")
+    stale = os.path.exists(_SO) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if not os.path.exists(_SO) or stale:
         try:
             subprocess.run(
                 ["make", "-s", "-C", _NATIVE_DIR],
@@ -41,7 +45,10 @@ def _try_load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
-            return None
+            if stale:
+                pass  # keep the existing (older) library
+            else:
+                return None
     try:
         lib = ctypes.CDLL(_SO)
         lib.hetg_canonical_sort.argtypes = [

@@ -5,27 +5,21 @@ Usage: python scripts/profile_ops.py [dataset] [n_infeat] [heads]
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from het_tpu.data import load_dataset
 from het_tpu import ops
+from het_tpu.utils.timing import op_time_ms
 
 
-def bench(fn, *args, reps=20, warmup=3):
-    jfn = jax.jit(fn)
-    for _ in range(warmup):
-        jax.block_until_ready(jfn(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+# chained-slope timing (utils/timing.py): block_until_ready does NOT
+# synchronize on this async runtime, and repeated identical computations
+# are served from a cache — each profiled op must consume the chained
+# carrier so successive invocations are genuinely distinct work.
 
 
 def main():
@@ -45,45 +39,33 @@ def main():
     feat_e = jax.block_until_ready(feat_e)
 
     E = g.num_edges
+    # each row: (label, carrier x0, op taking the carrier) — the carrier is
+    # the tensor op_time_ms perturbs between chain links
     rows = [
-        ("edge_typed_linear fwd", lambda: ops.edge_typed_linear(g, x, w)),
-        (
-            "edge_typed_linear grad",
-            lambda: jax.grad(
-                lambda xx, ww: jnp.sum(ops.edge_typed_linear(g, xx, ww) ** 2),
-                argnums=(0, 1),
-            )(x, w),
-        ),
-        (
-            "compact_typed_linear fwd",
-            lambda: ops.compact_typed_linear(g, x, w),
-        ),
-        ("gather x[src] (EP,Din)", lambda: ops.gather_src(g, x)),
-        (
-            "scatter_sum_dst (EP,H,D)",
-            lambda: ops.scatter_sum_dst(g, feat_e),
-        ),
-        (
-            "fused_gat fwd",
-            lambda: ops.relational_fused_gat(g, feat_e, el, er, 0.2),
-        ),
-        (
-            "fused_gat grad",
-            lambda: jax.grad(
-                lambda f, a, b: jnp.sum(
-                    ops.relational_fused_gat(g, f, a, b, 0.2) ** 2
-                ),
-                argnums=(0, 1, 2),
-            )(feat_e, el, er),
-        ),
-        (
-            "fused_gat fwd stable",
-            lambda: ops.relational_fused_gat(g, feat_e, el, er, 0.2,
-                                             stable=True),
-        ),
+        ("edge_typed_linear fwd", x,
+         lambda xx: ops.edge_typed_linear(g, xx, w)),
+        ("edge_typed_linear grad", x,
+         lambda xx: jax.grad(
+             lambda a, ww: jnp.sum(ops.edge_typed_linear(g, a, ww) ** 2),
+             argnums=(0, 1))(xx, w)),
+        ("compact_typed_linear fwd", x,
+         lambda xx: ops.compact_typed_linear(g, xx, w)),
+        ("gather x[src] (EP,Din)", x, lambda xx: ops.gather_src(g, xx)),
+        ("scatter_sum_dst (EP,H,D)", feat_e,
+         lambda fe: ops.scatter_sum_dst(g, fe)),
+        ("fused_gat fwd", feat_e,
+         lambda fe: ops.relational_fused_gat(g, fe, el, er, 0.2)),
+        ("fused_gat grad", feat_e,
+         lambda fe: jax.grad(
+             lambda f, a, b: jnp.sum(
+                 ops.relational_fused_gat(g, f, a, b, 0.2) ** 2),
+             argnums=(0, 1, 2))(fe, el, er)),
+        ("fused_gat fwd stable", feat_e,
+         lambda fe: ops.relational_fused_gat(g, fe, el, er, 0.2,
+                                             stable=True)),
     ]
-    for label, fn in rows:
-        ms = bench(fn)
+    for label, x0, fn in rows:
+        ms = op_time_ms(fn, x0, n1=2, n2=10, trials=2)
         print(f"{label:32s} {ms:9.3f} ms   {E / ms * 1e3 / 1e6:8.1f} Medges/s")
 
 

@@ -29,3 +29,14 @@ assert jax.devices()[0].platform == "cpu"
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_backend():
+    """Make the suite order-independent: any test that flips the global op
+    backend (het_tpu.ops.set_backend) gets it restored afterwards."""
+    import het_tpu.ops as ops
+
+    prev = ops.get_backend()
+    yield
+    ops.set_backend(prev)
