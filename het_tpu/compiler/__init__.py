@@ -10,12 +10,18 @@ from .serialize import dumps, loads  # noqa: F401
 from .passes import PassManager, Pass, run_default  # noqa: F401
 from .autodiff import differentiate  # noqa: F401
 from .fuse import fuse_edge_softmax  # noqa: F401
-from .lower import compile_program, emit_python  # noqa: F401
+from .lower import compile_program  # noqa: F401
+from .codegen import compile_emitted, emit_python  # noqa: F401
+from .opspec import (  # noqa: F401
+    dumps_opspec,
+    parse_opspec_ssa,
+    schedule_program,
+)
 
 
-def compile_dsl(source: str, outputs=None):
+def compile_dsl(source: str, outputs=None, shape_hints=None):
     """DSL source -> (forward closure, analyzed Program)."""
-    prog = run_default(parse_dsl(source))
+    prog = run_default(parse_dsl(source), shape_hints=shape_hints)
     return compile_program(prog, outputs=outputs), prog
 
 

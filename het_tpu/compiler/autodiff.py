@@ -21,11 +21,20 @@ from .ir import Op, Program, Var
 NODE_KINDS = ("NODEWISE", "DSTNODE", "SRCNODE")
 
 
+def _ckey(var: Var) -> Tuple[str, str]:
+    """Canonical contribution key: SRCNODE/DSTNODE/NODEWISE reads of the
+    same name are gathers of one node-space value, so their gradient
+    contributions must merge (a dst-side read's delta is not a different
+    variable's delta)."""
+    kind = "NODE" if var.kind in NODE_KINDS else var.kind
+    return (kind, var.name)
+
+
 class _Diff:
     def __init__(self, fwd: Program):
         self.fwd = fwd
         self.bck = Program()
-        # (kind, name) -> list of delta-contribution Vars
+        # canonical key -> list of delta-contribution Vars
         self.contribs: Dict[Tuple[str, str], List[Var]] = {}
         self.tmp_n = 0
 
@@ -39,11 +48,11 @@ class _Diff:
         return out
 
     def add_contrib(self, var: Var, delta: Var) -> None:
-        self.contribs.setdefault((var.kind, var.name), []).append(delta)
+        self.contribs.setdefault(_ckey(var), []).append(delta)
 
     def delta_of(self, var: Var) -> Var:
         """Finalized delta for a forward variable (summing contributions)."""
-        key = (var.kind, var.name)
+        key = _ckey(var)
         cs = self.contribs.get(key, [])
         assert cs, f"no gradient flows into {var}"
         if len(cs) == 1:
@@ -58,7 +67,7 @@ class _Diff:
         return acc
 
     def has_delta(self, var: Var) -> bool:
-        return bool(self.contribs.get((var.kind, var.name)))
+        return bool(self.contribs.get(_ckey(var)))
 
 
 def _edge_delta(name: str, term: int = 0) -> Var:
@@ -85,11 +94,14 @@ def differentiate(fwd: Program, outputs=None) -> Program:
     term_count: Dict[str, int] = {}
 
     def fresh(var: Var, kind_override: str = None) -> Var:
+        # always _termN (even the first): the finalization Copy below
+        # writes the bare `{name}_delta`, which must stay unassigned until
+        # then (a collision would be SSA-renamed and readers of the
+        # canonical delta name would silently get only the first term)
         n = term_count.get(var.name, 0) + 1
         term_count[var.name] = n
-        suffix = f"_term{n}" if n > 1 else ""
         kind = kind_override or var.kind
-        return Var(kind, f"{var.name}_delta{suffix}")
+        return Var(kind, f"{var.name}_delta_term{n}")
 
     for op in reversed(fwd.ops):
         out = op.outputs[0]
@@ -99,18 +111,31 @@ def differentiate(fwd: Program, outputs=None) -> Program:
         if k in ("NodeDense", "EdgeDense", "CompactDense"):
             dy = d.delta_of(out)
             x, w = op.inputs["input"], op.inputs["weight"]
-            # dX = dY @ W^T (edge-wise), then accumulate to x's space
             wt = Var(w.kind, f"{w.name}_transposed")
             d.emit("Transpose", {"input": w}, wt)
-            dx_e = Var("EDGEWISE", d.tmp(f"{x.name}_delta"))
-            d.emit("EdgeDense", {"input": dy, "weight": wt}, dx_e)
-            if x.kind in NODE_KINDS:
-                dx = fresh(x)
-                d.emit("NodeSumAccumulation", {"input": dx_e}, dx)
-                d.add_contrib(x, dx)
+            # Edge-mediated dense (typed weight or per-edge output):
+            # dX = dY @ W^T edge-wise, then accumulate into x's space.
+            # Node-space dense (unsliced weight, node output — e.g. rgcn's
+            # W0 self-loop): backward stays in node space — routing it
+            # through edges would scale the gradient by node degree.
+            edge_mediated = (
+                out.kind in ("EDGEWISE", "UNIQUE_NODE_ETYPE")
+                or w.kind == "EDGETYPE"
+            )
+            if edge_mediated:
+                dx_e = Var("EDGEWISE", d.tmp(f"{x.name}_delta"))
+                d.emit("EdgeDense", {"input": dy, "weight": wt}, dx_e)
+                if x.kind in NODE_KINDS:
+                    dx = fresh(x)
+                    d.emit("NodeSumAccumulation", {"input": dx_e}, dx)
+                    d.add_contrib(x, dx)
+                else:
+                    d.add_contrib(x, dx_e)
             else:
-                d.add_contrib(x, dx_e)
-            # dW = sum_rel x_e (outer) dy
+                dx = fresh(x)
+                d.emit("NodeDense", {"input": dy, "weight": wt}, dx)
+                d.add_contrib(x, dx)
+            # dW = sum x (outer) dy over the op's row space
             if w.kind in ("EDGETYPE", "NODETYPE"):
                 t = Var("EDGEWISE", d.tmp(f"{w.name}_delta"))
                 d.emit("EdgeOuterProduct", {"left": x, "right": dy}, t)
@@ -121,6 +146,18 @@ def differentiate(fwd: Program, outputs=None) -> Program:
                     else "NodeTypeSumAccumulation"
                 )
                 d.emit(acc, {"input": t}, dw)
+                d.add_contrib(w, dw)
+            else:
+                outer = (
+                    "EdgeOuterProduct"
+                    if edge_mediated
+                    else "NodeOuterProduct"
+                )
+                space = "EDGEWISE" if edge_mediated else out.kind
+                t = Var(space, d.tmp(f"{w.name}_delta"))
+                d.emit(outer, {"left": x, "right": dy}, t)
+                dw = fresh(w)
+                d.emit("RowSumAccumulation", {"input": t}, dw)
                 d.add_contrib(w, dw)
             continue
         if k == "NodeLinear":

@@ -1,0 +1,373 @@
+"""Real codegen: Inter-Op SSA program -> standalone Python/JAX source.
+
+The TPU-native counterpart of the reference's Jinja CUDA codegen
+(hrt/pyctor/ir/OpSpecSSA/codegen.py + templates/*.jinja — upstream the
+generated ``examples/code-generated/*.gen.py`` files are empty
+placeholders).  Here the generated artifact is a self-contained Python
+module: each IR op becomes a direct call into ``het_tpu.ops`` / ``jnp``
+with the op-space coercions (node->edge gathers, weight-by-relation takes)
+resolved **statically** from variable kinds at generation time — no
+interpreter, no imports from ``het_tpu.compiler``.
+
+The semantic rules mirror ``lower._exec_op`` op for op; equivalence is
+enforced by tests executing the emitted source against the interpreted
+closure on random graphs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from .ir import Op, Program, Var
+
+NODE_KINDS = ("NODEWISE", "DSTNODE", "SRCNODE")
+
+
+def _sym(name: str) -> str:
+    return "v_" + re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+
+class _Emitter:
+    """Static mirror of ``lower._Env``: tracks which (kind, name) pairs are
+    bound to which python symbols and emits space-coercion expressions."""
+
+    def __init__(self, prog: Program):
+        self.prog = prog
+        self.lines: List[str] = []
+        self.defined: Dict[Tuple[str, str], str] = {}
+        self.by_name: Dict[str, Tuple[str, str]] = {}
+        self.tmp = 0
+
+    def out(self, line: str) -> None:
+        self.lines.append("    " + line)
+
+    def bind(self, var: Var) -> str:
+        s = _sym(var.name)
+        self.defined[(var.kind, var.name)] = s
+        self.by_name[var.name] = (var.kind, var.name)
+        return s
+
+    def lookup(self, var: Var) -> Tuple[str, str]:
+        """-> (symbol, kind-it-was-defined-under); name-alias fallback
+        mirrors _Env.lookup."""
+        key = (var.kind, var.name)
+        if key in self.defined:
+            return self.defined[key], var.kind
+        if var.name in self.by_name:
+            k = self.by_name[var.name]
+            return self.defined[k], k[0]
+        raise KeyError(f"undefined variable {var}")
+
+    def as_edge(self, var: Var) -> str:
+        if var.is_weight:
+            s, _ = self.lookup(var)
+            if var.kind == "EDGETYPE":
+                return f"jnp.take({s}, g.rel, axis=0)"
+            if var.kind == "NODETYPE":
+                raise ValueError("node-typed weight used edge-wise")
+            return (
+                f"jnp.broadcast_to({s}, (g.num_padded_edges,) + {s}.shape)"
+            )
+        s, kind = self.lookup(var)
+        if kind == "EDGEWISE":
+            return s
+        if var.kind == "SRCNODE" or kind == "SRCNODE":
+            return f"ops.gather_src(g, {s})"
+        return f"ops.gather_dst(g, {s})"
+
+    def as_node(self, var: Var) -> str:
+        s, kind = self.lookup(var)
+        assert kind != "EDGEWISE", f"{var} is edge-wise, node value expected"
+        return s
+
+
+def _emit_op(e: _Emitter, op: Op) -> None:
+    k = op.kind
+    out = op.outputs[0]
+    o = _sym(out.name)
+
+    def fin(expr: str) -> None:
+        e.out(f"{o} = {expr}")
+        e.bind(out)
+
+    if k in ("NodeDense", "EdgeDense", "CompactDense"):
+        xv = op.inputs["input"]
+        wv = op.inputs["weight"]
+        w, _ = e.lookup(wv)
+        wslice = wv.kind
+        if wslice == "NONE":
+            x = (
+                e.as_node(xv) if xv.kind in NODE_KINDS else e.as_edge(xv)
+            )
+            e.out(f"{o} = {x} @ {w}")
+            if out.kind == "EDGEWISE" and xv.kind in NODE_KINDS:
+                fn = "gather_src" if xv.kind == "SRCNODE" else "gather_dst"
+                e.out(f"{o} = ops.{fn}(g, {o})")
+            e.bind(out)
+            return
+        if wslice == "NODETYPE":
+            x = e.as_node(xv)
+            fin(f"ops.ntype_linear(g, {x}, {w}[:, None])[:, 0]")
+            return
+        w4 = f"({w} if {w}.ndim == 4 else {w}[:, None])"
+        if k == "CompactDense":
+            side = op.attrs.get("side", "src")
+            x = e.as_node(xv)
+            fin(
+                f"ops.compact_typed_linear(g, {x}, {w4}, side={side!r})"
+                "[:, 0]"
+            )
+            return
+        if xv.kind in ("SRCNODE", "DSTNODE"):
+            x = e.as_node(xv)
+            side = "src" if xv.kind == "SRCNODE" else "dst"
+            fin(
+                f"ops.edge_typed_linear(g, {x}, {w4}, side={side!r})[:, 0]"
+            )
+            return
+        x_e = e.as_edge(xv)
+        e.out("seg = g.edge_rel_seg")
+        e.out(f"rows = take_rows({x_e}, seg.perm)")
+        e.out(
+            "rows = jnp.where(seg.row_valid[:, None], rows, "
+            "jnp.zeros_like(rows))"
+        )
+        e.out(f"rows = ops.segment_matmul_rows(rows, {w4}, seg)[:, 0]")
+        fin("seg.scatter_back(rows)")
+        return
+
+    if k == "NodeLinear":
+        w, _ = e.lookup(op.inputs["weight"])
+        x = e.as_node(op.inputs["input"])
+        fin(f"ops.ntype_linear(g, {x}, {w}[:, None])[:, 0]")
+        return
+
+    if k == "WeightDense":
+        l, _ = e.lookup(op.inputs["left"])
+        r, _ = e.lookup(op.inputs["right"])
+        e.out(f"if {r}.ndim == {l}.ndim - 1:")
+        e.out(f"    {o} = jnp.einsum('r...ab,r...b->r...a', {l}, {r})")
+        e.out("else:")
+        e.out(f"    {o} = jnp.einsum('r...ab,r...bc->r...ac', {l}, {r})")
+        e.bind(out)
+        return
+
+    if k == "Copy":
+        if out.kind == "EDGEWISE":
+            fin(e.as_edge(op.inputs["input"]))
+        else:
+            s, _ = e.lookup(op.inputs["input"])
+            fin(s)
+        return
+
+    if k == "Concatenate":
+        l = e.as_edge(op.inputs["left"])
+        r = e.as_edge(op.inputs["right"])
+        fin(f"jnp.concatenate([{l}, {r}], axis=-1)")
+        return
+
+    if k == "Split":
+        s, _ = e.lookup(op.inputs["input"])
+        e.out(f"_h = {s}.shape[-1] // 2")
+        e.out(f"{_sym(op.outputs[0].name)} = {s}[..., :_h]")
+        e.out(f"{_sym(op.outputs[1].name)} = {s}[..., _h:]")
+        e.bind(op.outputs[0])
+        e.bind(op.outputs[1])
+        return
+
+    if k == "Transpose":
+        s, _ = e.lookup(op.inputs["input"])
+        fin(f"jnp.swapaxes({s}, -1, -2)")
+        return
+
+    if k == "EdgeInnerProduct":
+        if op.attrs.get("compact"):
+            side = op.attrs.get("side", "src")
+            info = "g.compact_src" if side == "src" else "g.compact_dst"
+
+            def as_c(v: Var) -> str:
+                s, _ = e.lookup(v)
+                if v.is_weight and v.kind == "EDGETYPE":
+                    return f"jnp.take({s}, {info}.seg.row_seg, axis=0)"
+                return s
+
+            l = as_c(op.inputs["left"])
+            r = as_c(op.inputs["right"])
+            fin(f"jnp.sum({l} * {r}, axis=-1)")
+            return
+        l = e.as_edge(op.inputs["left"])
+        r = e.as_edge(op.inputs["right"])
+        fin(f"jnp.sum({l} * {r}, axis=-1)")
+        return
+
+    if k in ("EdgeOuterProduct", "NodeOuterProduct"):
+        if out.kind != "EDGEWISE" and all(
+            v.kind in NODE_KINDS for v in op.inputs.values()
+        ):
+            l = e.as_node(op.inputs["left"])
+            r = e.as_node(op.inputs["right"])
+        else:
+            l = e.as_edge(op.inputs["left"])
+            r = e.as_edge(op.inputs["right"])
+        fin(f"{l}[..., :, None] * {r}[..., None, :]")
+        return
+
+    if k == "EdgeScalarVectorMul":
+        s = e.as_edge(op.inputs["scalar"])
+        v = e.as_edge(op.inputs["vector"])
+        fin(f"{s}[..., None] * {v}")
+        return
+
+    if k in ("LeakyRelu", "Exponential", "Tanh", "Negative"):
+        s, _ = e.lookup(op.inputs["input"])
+        fn = {
+            "LeakyRelu": "jax.nn.leaky_relu({}, negative_slope=0.2)",
+            "Exponential": "jnp.exp({})",
+            "Tanh": "jnp.tanh({})",
+            "Negative": "jnp.negative({})",
+        }[k]
+        fin(fn.format(s))
+        return
+
+    if k == "GradLeakyRelu":
+        d, _ = e.lookup(op.inputs["delta"])
+        p, _ = e.lookup(op.inputs["primal"])
+        fin(f"{d} * jnp.where({p} >= 0, 1.0, 0.2)")
+        return
+
+    if k in ("ScalarDivide", "ScalarMultiply", "ScalarAdd", "VectorAdd",
+             "MatrixAdd"):
+        lv, rv = op.inputs["left"], op.inputs["right"]
+        if out.is_weight or (lv.is_weight and rv.is_weight):
+            l, _ = e.lookup(lv)
+            r, _ = e.lookup(rv)
+        elif out.kind == "EDGEWISE":
+            l, r = e.as_edge(lv), e.as_edge(rv)
+        else:
+            l, r = e.as_node(lv), e.as_node(rv)
+        if k == "ScalarDivide":
+            fin(f"safe_div({l}, {r})")
+        elif k == "ScalarMultiply":
+            fin(f"{l} * {r}")
+        else:
+            fin(f"{l} + {r}")
+        return
+
+    if k == "NodeSumAccumulation":
+        v = e.as_edge(op.inputs["input"])
+        fn = (
+            "ops.scatter_sum_src"
+            if out.kind == "SRCNODE"
+            else "ops.scatter_sum_dst"
+        )
+        fin(f"{fn}(g, g.edge_mask({v}))")
+        return
+
+    if k == "EdgeTypeSumAccumulation":
+        v = e.as_edge(op.inputs["input"])
+        fin(
+            f"jax.ops.segment_sum(g.edge_mask({v}), g.rel, "
+            "num_segments=g.num_rels)"
+        )
+        return
+
+    if k == "RowSumAccumulation":
+        xv = op.inputs["input"]
+        if xv.kind == "EDGEWISE":
+            v = e.as_edge(xv)
+            fin(f"jnp.sum(g.edge_mask({v}), axis=0)")
+        else:
+            fin(f"jnp.sum({e.as_node(xv)}, axis=0)")
+        return
+
+    if k == "NodeTypeSumAccumulation":
+        v = e.as_node(op.inputs["input"])
+        e.out("_offs = jnp.asarray(g.ntype_offsets)")
+        e.out(
+            "_ntype = jnp.searchsorted(_offs[1:], "
+            "jnp.arange(g.num_nodes), side='right').astype(jnp.int32)"
+        )
+        fin(
+            f"jax.ops.segment_sum({v}, _ntype, "
+            "num_segments=g.num_ntypes)"
+        )
+        return
+
+    if k == "FusedEdgeSoftmaxAgg":
+        logits = e.as_edge(op.inputs["logits"])
+        msg = e.as_edge(op.inputs["msg"])
+        fin(f"ops.edge_softmax_weighted_sum(g, {logits}, {msg})")
+        return
+
+    if k == "ExpandCompact":
+        s, _ = e.lookup(op.inputs["input"])
+        side = op.attrs.get("side", "src")
+        fin(f"ops.expand_compact(g, {s}, side={side!r})")
+        return
+
+    raise NotImplementedError(f"no codegen for op kind {k}")
+
+
+def program_outputs(prog: Program) -> List[Var]:
+    read = set()
+    for op in prog.ops:
+        for v in op.inputs.values():
+            read.add(v.name)
+    outs = []
+    for op in prog.ops:
+        for o in op.outputs:
+            if o.name not in read:
+                outs.append(o)
+    return outs
+
+
+def emit_python(
+    prog: Program,
+    name: str = "compiled_program",
+    outputs: Optional[List[Var]] = None,
+) -> str:
+    """Generate a standalone Python function for ``prog``.
+
+    The emitted source depends only on ``het_tpu.ops`` / ``jax`` — it has
+    no imports from ``het_tpu.compiler`` and replays nothing: every IR op
+    is compiled to a direct call.  Execute with
+    ``exec(src, ns); ns[name](g, inputs, weights)``."""
+    prog.validate()
+    e = _Emitter(prog)
+    if outputs is None:
+        outputs = program_outputs(prog)
+    for v in prog.inputs:
+        e.out(f"{_sym(v.name)} = inputs[{v.name!r}]")
+        e.bind(v)
+    for v in prog.weights:
+        e.out(f"{_sym(v.name)} = weights[{v.name!r}]")
+        e.bind(v)
+    for op in prog.ops:
+        e.out(f"# {op}")
+        _emit_op(e, op)
+    ret = ", ".join(f"{v.name!r}: {_sym(v.name)}" for v in outputs)
+    header = [
+        '"""Auto-generated by het_tpu.compiler.codegen',
+        "(Inter-Op SSA -> standalone Python/JAX source).\"\"\"",
+        "import jax",
+        "import jax.numpy as jnp",
+        "from het_tpu import ops",
+        "from het_tpu.ops.common import safe_div, take_rows",
+        "",
+        "",
+        f"def {name}(g, inputs, weights):",
+    ]
+    return "\n".join(header + e.lines + [f"    return {{{ret}}}"]) + "\n"
+
+
+def compile_emitted(prog: Program, outputs=None):
+    """Emit + exec: returns the generated function object (and its source
+    on ``fn.__source__``)."""
+    src = emit_python(prog, outputs=outputs)
+    ns: Dict[str, object] = {}
+    exec(compile(src, "<het_tpu.codegen>", "exec"), ns)
+    fn = ns["compiled_program"]
+    fn.__source__ = src  # type: ignore[attr-defined]
+    fn.output_vars = outputs or program_outputs(prog)  # type: ignore
+    return fn

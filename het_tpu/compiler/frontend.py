@@ -104,22 +104,37 @@ def _edge_stmt(ctx: _Ctx, stmt: ast.stmt) -> None:
     _lower_expr(ctx, stmt.value, out, "EDGEWISE")
 
 
+def _defined(ctx: _Ctx, name: str) -> bool:
+    return any(o.name == name for op in ctx.prog.ops for o in op.outputs)
+
+
 def _node_stmt(ctx: _Ctx, stmt: ast.stmt, kind: str) -> None:
     if isinstance(stmt, ast.For) and _loop_kind(stmt) == "incoming_edges":
         for inner in stmt.body:
             if isinstance(inner, ast.AugAssign):
                 name = _target_name(inner.target)
-                # n[s] += expr  ->  NodeSumAccumulation(edge-expr)
+                # n[s] += expr  ->  NodeSumAccumulation(edge-expr); when the
+                # accumulator already holds a value (e.g. a self-loop dense
+                # written before the edge loop, rgcn.inter-op), accumulate
+                # into a temp and add — the golden's _self/_neighbors split
                 val = _as_var(ctx, inner.value, "EDGEWISE", base=name)
-                ctx.emit(
-                    "NodeSumAccumulation",
-                    {"input": val},
-                    Var.data(kind, name),
-                )
+                tgt = Var.data(kind, name)
+                if _defined(ctx, name):
+                    tmp = Var.data(kind, ctx.tmp(name))
+                    ctx.emit("NodeSumAccumulation", {"input": val}, tmp)
+                    ctx.emit(
+                        "UnrealizedAdd", {"left": tgt, "right": tmp}, tgt
+                    )
+                else:
+                    ctx.emit("NodeSumAccumulation", {"input": val}, tgt)
         return
     if isinstance(stmt, ast.AugAssign):
-        # n[y] += expr at node level (self-loop term): accumulate node-wise
+        # n[y] += expr at node level (self-loop term): accumulate node-wise;
+        # a += into an undefined accumulator is plain assignment
         name = _target_name(stmt.target)
+        if not _defined(ctx, name):
+            _lower_expr(ctx, stmt.value, Var.data(kind, name), kind)
+            return
         val = _as_var(ctx, stmt.value, kind, base=name)
         prev = Var.data(kind, name)
         ctx.emit("VectorAdd", {"left": prev, "right": val}, prev)
@@ -180,6 +195,27 @@ def _leaf_var(e: ast.expr, scope: str) -> Optional[Var]:
 def _lower_expr(ctx: _Ctx, e: ast.expr, out: Var, scope: str) -> None:
     base = out.name
     if isinstance(e, ast.BinOp):
+        # canonical grouping for a * b * W[etype] chains: the reference
+        # groups the typed dense innermost — (a * b) * W -> a * (b * W)
+        # (rgcn.inter-op-ssa: EdgeDense(feature, Wr) then
+        # EdgeScalarVectorMul(norm_factor, ·)).  Scalar multiplication
+        # commutes, so the reassociation is semantics-preserving.
+        if (
+            isinstance(e.op, ast.Mult)
+            and isinstance(e.left, ast.BinOp)
+            and isinstance(e.left.op, ast.Mult)
+        ):
+            rv = _leaf_var(e.right, scope)
+            if rv is not None and rv.is_weight:
+                regrouped = ast.BinOp(
+                    left=e.left.left,
+                    op=ast.Mult(),
+                    right=ast.BinOp(
+                        left=e.left.right, op=ast.Mult(), right=e.right
+                    ),
+                )
+                _lower_expr(ctx, regrouped, out, scope)
+                return
         left = _as_var(ctx, e.left, scope, base)
         right = _as_var(ctx, e.right, scope, base)
         if isinstance(e.op, ast.Mult):

@@ -125,6 +125,8 @@ OP_DEFS: Dict[str, OpDef] = {
     "NodeSumAccumulation": OpDef(("input",)),
     "EdgeTypeSumAccumulation": OpDef(("input",)),
     "NodeTypeSumAccumulation": OpDef(("input",)),
+    # sum over every row (dW of an unsliced weight)
+    "RowSumAccumulation": OpDef(("input",)),
     # compact materialization (ours; reference realizes it in kernels)
     "CompactDense": OpDef(("input", "weight"), VECTOR),
     "ExpandCompact": OpDef(("input",)),

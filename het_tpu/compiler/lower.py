@@ -8,10 +8,9 @@ fuses the elementwise chains the reference's TraversalOp fusion would have
 hand-scheduled, and ``jax.grad`` of the compiled closure provides an
 independent check of the IR-level autodiff.
 
-``emit_python`` additionally renders the compiled program as readable
-Python source — the inspectable codegen artifact (the analogue of the
-reference's generated ``.gen.py``/``.gen.cu`` files, which are empty
-placeholders upstream)."""
+Source-level codegen lives in ``compiler.codegen`` (standalone emitted
+Python with no interpreter dependency); this module is the reference
+interpreter the emitted source is tested against."""
 
 from __future__ import annotations
 
@@ -193,8 +192,15 @@ def _exec_op(env: _Env, op: Op) -> None:
         return
 
     if k in ("EdgeOuterProduct", "NodeOuterProduct"):
-        l = env.as_edge(op.inputs["left"])
-        r = env.as_edge(op.inputs["right"])
+        if out.kind != "EDGEWISE" and all(
+            v.kind in NODE_KINDS for v in op.inputs.values()
+        ):
+            # node-space outer product (dW of a node-space dense)
+            l = env.as_node(op.inputs["left"])
+            r = env.as_node(op.inputs["right"])
+        else:
+            l = env.as_edge(op.inputs["left"])
+            r = env.as_edge(op.inputs["right"])
         env.set(out, l[..., :, None] * r[..., None, :])
         return
 
@@ -260,6 +266,15 @@ def _exec_op(env: _Env, op: Op) -> None:
         )
         return
 
+    if k == "RowSumAccumulation":
+        xv = op.inputs["input"]
+        if xv.kind == "EDGEWISE":
+            v = env.as_edge(xv)
+            env.set(out, jnp.sum(g.edge_mask(v), axis=0))
+        else:
+            env.set(out, jnp.sum(env.as_node(xv), axis=0))
+        return
+
     if k == "NodeTypeSumAccumulation":
         val = env.as_node(op.inputs["input"])
         offs = jnp.asarray(g.ntype_offsets)
@@ -319,52 +334,3 @@ def compile_program(prog: Program, outputs=None) -> Callable:
     return fn
 
 
-def emit_python(prog: Program, name: str = "compiled_program") -> str:
-    """Render the program as standalone, executable Python source — the
-    inspectable codegen artifact (analogue of the reference's generated
-    ``.gen.py`` files, which upstream are empty placeholders).
-
-    The emitted function replays the op list through the same per-op
-    executor used by :func:`compile_program`, so emitted source and the
-    compiled closure are behaviourally identical by construction."""
-    lines = [
-        f"def {name}(g, inputs, weights):",
-        "    from het_tpu.compiler.ir import Op, Var",
-        "    from het_tpu.compiler.lower import _Env, _exec_op",
-        "    env = _Env(g)",
-    ]
-    for v in prog.inputs:
-        lines.append(
-            f"    env.set(Var({v.kind!r}, {v.name!r}), inputs[{v.name!r}])"
-        )
-    for v in prog.weights:
-        lines.append(
-            f"    env.set(Var({v.kind!r}, {v.name!r}), weights[{v.name!r}])"
-        )
-    for op in prog.ops:
-        ins = ", ".join(
-            f"{k!r}: Var({v.kind!r}, {v.name!r})"
-            for k, v in op.inputs.items()
-        )
-        outs = ", ".join(
-            f"Var({o.kind!r}, {o.name!r})" for o in op.outputs
-        )
-        lines.append(f"    # {op}")
-        lines.append(
-            f"    _exec_op(env, Op({op.kind!r}, {{{ins}}}, ({outs},), "
-            f"{op.attrs!r}))"
-        )
-    read = {v.name for op in prog.ops for v in op.inputs.values()}
-    outs = [
-        o for op in prog.ops for o in op.outputs if o.name not in read
-    ]
-    ret = ", ".join(
-        f"{o.name!r}: env.lookup(Var({o.kind!r}, {o.name!r}))[0]"
-        for o in outs
-    )
-    lines.append(f"    return {{{ret}}}")
-    header = (
-        '"""Auto-generated by het_tpu.compiler '
-        '(Inter-Op SSA -> Python).\"\"\"\n'
-    )
-    return header + "\n".join(lines) + "\n"

@@ -51,6 +51,38 @@ class PassManager:
 # ------------------------------------------------------------- analyses
 
 
+def ssa_rename(prog: Program) -> None:
+    """Enforce single assignment: a redefinition of a live name (the
+    frontend's accumulate-into-existing pattern, e.g. rgcn's raw_output)
+    gets a versioned name ``_vN`` and subsequent reads follow it.  Without
+    this, reverse-mode accumulates the pre- and post-redefinition deltas
+    under one key and double-counts."""
+    current: Dict[str, str] = {}
+    version: Dict[str, int] = {}
+    for op in prog.ops:
+        op.inputs = {
+            k: (
+                Var(v.kind, current[v.name])
+                if v.name in current and current[v.name] != v.name
+                else v
+            )
+            for k, v in op.inputs.items()
+        }
+        new_out = []
+        for o in op.outputs:
+            if o.name in current:
+                n = version.get(o.name, 1) + 1
+                version[o.name] = n
+                new_name = f"{o.name}_v{n}"
+                current[o.name] = new_name
+                o = Var(o.kind, new_name)
+            else:
+                current[o.name] = o.name
+                version[o.name] = 1
+            new_out.append(o)
+        op.outputs = tuple(new_out)
+
+
 def def_use(prog: Program) -> Dict[Tuple[str, str], List[int]]:
     """(kind, name) -> indices of ops that read it."""
     uses: Dict[Tuple[str, str], List[int]] = {}
@@ -157,7 +189,9 @@ def realize_binops(prog: Program) -> None:
 def default_pipeline() -> PassManager:
     return PassManager(
         [
-            Pass("value_number", value_number),
+            Pass("ssa_rename", ssa_rename),
+            Pass("value_number", value_number,
+                 prerequisites=("ssa_rename",)),
             Pass("shape_inference", infer_shapes,
                  prerequisites=("value_number",)),
             Pass(
@@ -170,7 +204,19 @@ def default_pipeline() -> PassManager:
     )
 
 
-def run_default(prog: Program) -> Program:
+def run_default(prog: Program, shape_hints: Optional[Dict[str, str]] = None
+                ) -> Program:
+    """``shape_hints``: variable name -> slice_type seeds.  The DSL has no
+    shape syntax (the reference's lower() raises NotImplementedError at
+    exactly this step — lower_to_InterOpSSA.py:26-29), so scalar-valued
+    inputs like rgcn's ``norm_factor`` must be declared by the caller; the
+    golden ``.inter-op-ssa`` Shape tables play this role in tests."""
+    if shape_hints:
+        from .ir import DATA_KINDS, WEIGHT_SLICES
+
+        for name, st in shape_hints.items():
+            for k in DATA_KINDS + WEIGHT_SLICES:
+                prog.shapes.setdefault((k, name), st)
     default_pipeline().run(
         prog, ["value_number", "shape_inference", "binop_realize",
                "shape_inference"]

@@ -1,0 +1,203 @@
+"""Measured per-op device breakdown of the headline RGAT step.
+
+Times every component op of the RGAT fwd+bwd step (the bench.py headline)
+on the real device with chained-slope timing, plus end-to-end steps for
+both backends/flag sets, and writes a speed-of-light style table to
+docs/BREAKDOWN_r2.md — the measured counterpart of the reference's ncu
+speed-of-light sheets (hrt/utils/plot_roofline.py).
+
+Usage: python scripts/breakdown.py [--quick]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from het_tpu import ops
+from het_tpu.data import load_dataset
+from het_tpu.models import RGATModel
+from het_tpu.utils.timing import op_time_ms
+from het_tpu.utils.profiling import DEFAULT_PEAKS
+
+HEADS, F_IN, HIDDEN = 4, 64, 64
+
+
+def ideal_ms(bytes_moved, flops=0.0, peaks=DEFAULT_PEAKS):
+    t_mem = bytes_moved / (peaks["hbm_gbps"] * 1e9)
+    t_cmp = flops / (peaks["mxu_tflops_f32"] * 1e12)
+    return max(t_mem, t_cmp) * 1e3
+
+
+def main():
+    quick = "--quick" in sys.argv
+    data = load_dataset("mag", tile=128, num_classes=8, scale=0.018)
+    g = data.graph
+    print(g.describe(), "device:", jax.devices()[0], flush=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (g.num_nodes, F_IN))
+    labels = jnp.asarray(data.labels) % 8
+    H, D = HEADS, HIDDEN // HEADS
+    w = jax.random.normal(key, (g.num_rels, H, F_IN, D)) * 0.1
+    attn = jax.random.normal(key, (g.num_rels, H, D)) * 0.1
+    wa = jnp.einsum("rhkd,rhd->rhk", w, attn)
+
+    EP, N = g.num_padded_edges, g.num_nodes
+    UCs = g.compact_src.seg.n_rows
+    UCd = g.compact_dst.seg.n_rows
+    print(f"EP={EP} N={N} UC_src={UCs} UC_dst={UCd}", flush=True)
+    it = 4  # f32
+
+    def model_step(compact, multiply_first):
+        model = RGATModel(
+            in_feat=F_IN, hidden=HIDDEN, num_classes=8,
+            num_rels=g.num_rels, num_heads=H, num_layers=1,
+            dropout=0.0, stable_softmax="clip",
+            compact=compact, multiply_first=multiply_first,
+        )
+        prev = ops.get_backend()
+        ops.set_backend("xla")
+        params = model.init(jax.random.PRNGKey(1), g, x)
+        ops.set_backend(prev)
+
+        def step(xx):
+            def loss_fn(p):
+                logits = model.apply(p, g, xx)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return -jnp.mean(
+                    jnp.take_along_axis(logp, labels[:, None], axis=1)
+                )
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        return step
+
+    # pre-materialized intermediates for op-level rows
+    ops.set_backend("xla")
+    feat_c = ops.compact_typed_linear(g, x, w, side="src")
+    feat_e = ops.expand_compact(g, feat_c, side="src")
+    el = jax.random.normal(key, (EP, H)) * 0.1
+    er = jax.random.normal(key, (EP, H)) * 0.1
+    packed = jnp.concatenate(
+        [el, feat_e.reshape(EP, H * D)], axis=1
+    )
+    for v in (feat_c, feat_e, packed):
+        np.asarray(jax.device_get(v[0, :1]))  # settle
+
+    def grad_of(fn, *extra):
+        def run(xx):
+            return jax.grad(
+                lambda a: jnp.sum(fn(a, *extra) ** 2)
+            )(xx)
+
+        return run
+
+    rows = []
+
+    def add(label, x0, fn, bytes_moved, flops=0.0):
+        ms = op_time_ms(fn, x0, n1=2, n2=8 if quick else 14, trials=2)
+        sol = ideal_ms(bytes_moved, flops)
+        rows.append(
+            dict(op=label, measured_ms=round(ms, 3),
+                 ideal_ms=round(sol, 3),
+                 sol_pct=round(100 * sol / ms, 1) if ms > 0 else None)
+        )
+        print(rows[-1], flush=True)
+
+    C = H * D
+
+    for backend in (["pallas"] if quick else ["pallas", "xla"]):
+        ops.set_backend(backend)
+        tag = f"[{backend}] "
+        # --- typed linears
+        add(tag + "compact_typed_linear src fwd", x,
+            lambda xx: ops.compact_typed_linear(g, xx, w),
+            bytes_moved=(N * F_IN + UCs * F_IN + UCs * C) * it,
+            flops=2.0 * UCs * H * F_IN * D)
+        add(tag + "compact_typed_linear src grad", x,
+            grad_of(lambda xx: ops.compact_typed_linear(g, xx, w)),
+            bytes_moved=(N * F_IN + 3 * UCs * F_IN + 3 * UCs * C) * it,
+            flops=6.0 * UCs * H * F_IN * D)
+        add(tag + "edge_typed_linear src fwd", x,
+            lambda xx: ops.edge_typed_linear(g, xx, w),
+            bytes_moved=(N * F_IN + EP * F_IN + EP * C) * it,
+            flops=2.0 * EP * H * F_IN * D)
+        add(tag + "edge_typed_linear src grad", x,
+            grad_of(lambda xx: ops.edge_typed_linear(g, xx, w)),
+            bytes_moved=(N * F_IN + 3 * EP * F_IN + 3 * EP * C) * it,
+            flops=6.0 * EP * H * F_IN * D)
+        # --- attention logit path (multiply_first: O=1 matmul)
+        add(tag + "compact wa-logit fwd (el_c)", x,
+            lambda xx: ops.compact_typed_linear(g, xx, wa[..., None]),
+            bytes_moved=(N * F_IN + UCs * F_IN + UCs * H) * it,
+            flops=2.0 * UCs * H * F_IN)
+        # --- compact expansion
+        add(tag + "expand_compact (UC,H,D)->(EP,H,D) fwd", feat_c,
+            lambda fc: ops.expand_compact(g, fc),
+            bytes_moved=(UCs * C + EP * C) * it)
+        add(tag + "expand_compact grad (scatter into compact)", feat_c,
+            grad_of(lambda fc: ops.expand_compact(g, fc)),
+            bytes_moved=(UCs * C * 3 + EP * C * 2) * it)
+        # --- fused softmax-aggregation
+        add(tag + "relational_fused_gat fwd", feat_e,
+            lambda fe: ops.relational_fused_gat(g, fe, el, er, 0.2),
+            bytes_moved=(EP * C + 2 * EP * H + N * C + N * H) * it)
+        add(tag + "relational_fused_gat grad", feat_e,
+            grad_of(lambda fe: ops.relational_fused_gat(
+                g, fe, el, er, 0.2)),
+            bytes_moved=3 * (EP * C + 2 * EP * H + N * C + N * H) * it)
+        # --- raw aggregation
+        add(tag + "scatter_sum_dst packed (EP,H+HD)", packed,
+            lambda p: ops.scatter_sum_dst(g, p),
+            bytes_moved=(EP * (C + H) + N * (C + H)) * it)
+        add(tag + "gather x[src] (EP,F_IN)", x,
+            lambda xx: ops.gather_src(g, xx),
+            bytes_moved=(N * F_IN + EP * F_IN) * it)
+
+    # --- end-to-end steps
+    e2e = []
+
+    def add_e2e(label, backend, compact, mult):
+        ops.set_backend(backend)
+        try:
+            ms = op_time_ms(model_step(compact, mult), x, n1=2,
+                            n2=8 if quick else 14, trials=2)
+        finally:
+            ops.set_backend("xla")
+        e2e.append(dict(config=label, measured_ms=round(ms, 3),
+                        medges_per_s=round(g.num_edges / ms / 1e3, 2)))
+        print(e2e[-1], flush=True)
+
+    add_e2e("pallas compact+multfirst (headline)", "pallas", True, True)
+    if not quick:
+        add_e2e("pallas plain", "pallas", False, False)
+        add_e2e("xla plain", "xla", False, False)
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/BREAKDOWN_r2.md", "w") as f:
+        f.write("# Measured per-op device breakdown (round 2)\n\n")
+        f.write(f"Graph: {g.describe()}; config H={H}, f_in={F_IN}, "
+                f"D={D}; f32; device {jax.devices()[0].device_kind}; "
+                "chained-slope timing (utils/timing.py).\n\n")
+        f.write("| op | measured ms | memory-roofline ms | % of SoL |\n")
+        f.write("|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['op']} | {r['measured_ms']} | {r['ideal_ms']} "
+                    f"| {r['sol_pct']} |\n")
+        f.write("\n## End-to-end steps (1-layer RGAT fwd+bwd)\n\n")
+        f.write("| config | ms | Medges/s |\n|---|---|---|\n")
+        for r in e2e:
+            f.write(f"| {r['config']} | {r['measured_ms']} "
+                    f"| {r['medges_per_s']} |\n")
+    with open("docs/BREAKDOWN_r2.json", "w") as f:
+        json.dump({"ops": rows, "e2e": e2e}, f, indent=1)
+    print("wrote docs/BREAKDOWN_r2.md")
+
+
+if __name__ == "__main__":
+    main()
