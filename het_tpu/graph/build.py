@@ -19,9 +19,35 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from . import native
-from .structures import CompactInfo, HeteroGraph, Segments
+from .structures import CompactInfo, HeteroGraph, Segments, TileTables
 
-__all__ = ["build_segments", "build_heterograph", "round_up"]
+__all__ = [
+    "build_segments",
+    "build_heterograph",
+    "build_tile_tables",
+    "round_up",
+]
+
+# node-tile width of the one-hot segment-reduce kernels (must match
+# ops/pallas/seg_reduce.NB); tables are precomputed here because on-device
+# scalar-prefetch production costs ~1 ms per kernel call (see TileTables)
+KERNEL_NB = 128
+
+
+def build_tile_tables(ptr: np.ndarray, N: int, nb: int = KERNEL_NB) -> TileTables:
+    """Host (numpy) mirror of seg_reduce._tables_from_ptr."""
+    ptr = np.asarray(ptr)
+    n_tiles = -(-N // nb) if N else 0
+    idx = np.minimum(np.arange(n_tiles + 1, dtype=np.int64) * nb, N)
+    tptr = ptr[idx]
+    node_idx = np.minimum(
+        np.arange(n_tiles * nb, dtype=np.int64), N
+    ).reshape(n_tiles, nb)
+    lower = ptr[node_idx][:, None, :]
+    upper = ptr[np.minimum(node_idx + 1, N)][:, None, :]
+    return TileTables(
+        nb=nb, tptr=_i32(tptr), lower=_i32(lower), upper=_i32(upper)
+    )
 
 
 def round_up(x: int, m: int) -> int:
@@ -276,6 +302,8 @@ def build_heterograph(
         compact_dst=compact_dst,
         in_deg=_i32(in_deg),
         out_deg=_i32(out_deg),
+        in_tables=build_tile_tables(in_row_ptr, num_nodes),
+        out_tables=build_tile_tables(out_row_ptr, src_space),
         num_src_space=0 if src_space == num_nodes else int(src_space),
     )
 

@@ -110,6 +110,28 @@ _register(
 
 
 @dataclass(frozen=True)
+class TileTables:
+    """Host-precomputed per-node-tile boundary tables for the one-hot
+    segment-reduce kernels (ops/pallas/seg_reduce.py).
+
+    For output tile ``t`` over ``nb`` consecutive segment rows, ``tptr``
+    bounds the tile's edge range and ``lower``/``upper`` give each local
+    row's ``[row_ptr[v], row_ptr[v+1])`` edge range.  Precomputing these on
+    the host matters: producing scalar-prefetch arguments with on-device
+    XLA ops measured **+1.0 ms per kernel call** (the pallas grid scheduler
+    must synchronize on the XLA compute before it can start).
+    """
+
+    nb: int
+    tptr: Array  # (n_tiles + 1,)
+    lower: Array  # (n_tiles, 1, nb)
+    upper: Array  # (n_tiles, 1, nb)
+
+
+_register(TileTables, data_fields=("tptr", "lower", "upper"), meta_fields=("nb",))
+
+
+@dataclass(frozen=True)
 class CompactInfo:
     """Unique-(relation, node) compact materialization metadata.
 
@@ -174,6 +196,10 @@ class HeteroGraph:
     in_deg: Array  # (num_nodes,) int32 over real edges
     out_deg: Array  # (src_space,) int32
 
+    # -- host-precomputed kernel scheduling tables (see TileTables) --
+    in_tables: Optional[TileTables] = None  # over in_row_ptr / num_nodes
+    out_tables: Optional[TileTables] = None  # over out_row_ptr / src_space
+
     # Source-index space. Single-chip: == num_nodes (encoded as 0).  On a
     # partitioned shard (het_tpu/parallel): destinations are local
     # (num_nodes = padded per-shard count) while sources index the
@@ -222,6 +248,8 @@ _register(
         "compact_dst",
         "in_deg",
         "out_deg",
+        "in_tables",
+        "out_tables",
     ),
     meta_fields=(
         "num_nodes",

@@ -130,6 +130,7 @@ def _scatter_sum_src_pallas(vals2d: Array, g) -> Array:
         g.out_row_ptr,
         g.src_space,
         g.num_padded_edges - g.num_edges,
+        tables=g.out_tables,
     )
 
 

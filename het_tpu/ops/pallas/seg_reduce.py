@@ -41,7 +41,10 @@ from ..common import gather_dst
 Array = jax.Array
 
 NB = 128  # nodes per output tile
-CHUNK = 256  # edges per DMA chunk (smaller chunks cut tile-boundary waste)
+# edges per DMA chunk: 512 measured best at mag scale (1.53 ms vs 2.2 ms at
+# 256 for the (EP, 128) packed reduction — fewer grid-loop iterations beat
+# the extra tile-boundary waste)
+CHUNK = 512
 
 
 def _interpret_default() -> bool:
@@ -227,7 +230,23 @@ def _tables_from_ptr(ptr: Array, N: int, nb: int):
 
 
 def _tile_tables(g: HeteroGraph, nb: int) -> Tuple[Array, Array, Array]:
+    t = g.in_tables
+    if t is not None and t.nb == nb:
+        return jnp.asarray(t.tptr), jnp.asarray(t.lower), jnp.asarray(t.upper)
     return _tables_from_ptr(g.in_row_ptr, g.num_nodes, nb)
+
+
+def _unpack_tables(tables, row_ptr, N, nb):
+    """Use host-precomputed TileTables when present (producing the
+    scalar-prefetch args with on-device XLA measured +1.0 ms/call — the
+    grid scheduler synchronizes on them before any DMA is issued)."""
+    if tables is not None and tables.nb == nb:
+        return (
+            jnp.asarray(tables.tptr),
+            jnp.asarray(tables.lower),
+            jnp.asarray(tables.upper),
+        )
+    return _tables_from_ptr(row_ptr, N, nb)
 
 
 def seg_sum_sorted_pallas_raw(
@@ -236,6 +255,7 @@ def seg_sum_sorted_pallas_raw(
     N: int,
     n_guard: int,
     *,
+    tables=None,
     interpret: Optional[bool] = None,
     nb: int = NB,
     chunk: int = CHUNK,
@@ -261,7 +281,7 @@ def seg_sum_sorted_pallas_raw(
     if C != C_orig:
         vals2d = jnp.pad(vals2d, ((0, 0), (0, C - C_orig)))
     n_tiles = -(-N // nb)
-    tptr, lower, upper = _tables_from_ptr(row_ptr, N, nb)
+    tptr, lower, upper = _unpack_tables(tables, row_ptr, N, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -307,6 +327,7 @@ def seg_sum_dst_pallas_raw(
         g.in_row_ptr,
         g.num_nodes,
         g.num_padded_edges - g.num_edges,
+        tables=g.in_tables,
         interpret=interpret,
         nb=nb,
         chunk=chunk,

@@ -121,14 +121,25 @@ def relational_fused_gat(
     (RGATKernelsSeparateCOO.cu.h:17-215).  [The reference's python oracle
     divides by the *source* running sum (ref_rgat.py:30) which contradicts
     its own backward and the CUDA kernels; we normalize by destination.]"""
-    logits = jax.nn.leaky_relu(el_e + er_e, negative_slope=slope)
     from . import get_backend
 
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        # fully fused single pass: leaky_relu, clip, exp, message scaling
+        # and the packed (denominator + numerator) segment reduction all
+        # happen inside the kernel; backward is pure gathers
+        from .pallas.fused_agg import fused_softmax_agg
+
+        return fused_softmax_agg(
+            g,
+            feat_src_e,
+            el_e + er_e,
+            act="leaky_relu",
+            slope=slope,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    logits = jax.nn.leaky_relu(el_e + er_e, negative_slope=slope)
     if get_backend() == "pallas":
-        # single fused aggregation pass: pack exp values and exp-weighted
-        # messages into one segment-sum call (denominator + numerator),
-        # dividing after aggregation (algebraically identical since the
-        # denominator is constant per destination)
+        # stable='max': exact max-subtracted softmax, two-pass packed form
         logits = _stabilize(g, logits, stable)
         z = g.edge_mask(jnp.exp(logits))  # (EP, H)
         EP, H = z.shape
@@ -170,6 +181,17 @@ def hgt_softmax_weighted_agg(
     (HGTOpsEdgeParallel.inc.h:391)."""
     from . import get_backend
 
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import fused_softmax_agg
+
+        mu_e = jnp.take(mu, g.rel, axis=0)
+        return fused_softmax_agg(
+            g,
+            message_e,
+            score_e * mu_e,
+            act="identity",
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
     if get_backend() == "pallas":
         mu_e = jnp.take(mu, g.rel, axis=0)
         logits = _stabilize(g, score_e * mu_e, stable)
@@ -195,12 +217,23 @@ def edge_softmax_weighted_sum(
     if squeeze:
         logits = logits[:, None]
         vec_e = vec_e[:, None, :]
+    from . import get_backend
+
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import fused_softmax_agg
+
+        out = fused_softmax_agg(
+            g,
+            vec_e,
+            logits,
+            act="identity",
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+        return out[:, 0, :] if squeeze else out
     logits = _stabilize(g, logits, stable)
     z = g.edge_mask(jnp.exp(logits))  # (EP, H)
     EP, H = z.shape
     D = vec_e.shape[-1]
-    from . import get_backend
-
     if get_backend() == "pallas":
         zf = (vec_e * z[..., None]).reshape(EP, H * D)
         agg = scatter_sum_dst(g, jnp.concatenate([z, zf], axis=1))
