@@ -52,8 +52,32 @@ class NeighborSampler:
                pad_edges_to: Optional[int] = None,
                pad_nodes_to: Optional[int] = None) -> tuple:
         """Returns (subgraph, node_map) where node_map[i] = original id of
-        local node i; seeds occupy the first ``len(seeds)`` local ids."""
+        local node i; seeds occupy the first ``len(seeds)`` local ids.
+
+        The traversal hot loop runs in the native C++ library when built
+        (hetg_sample_fanout), with this python loop as the fallback —
+        identical contract, different RNG streams."""
         seeds = np.asarray(seeds).astype(np.int64)
+        from ..graph import native
+
+        cap_e = pad_edges_to or (
+            len(seeds)
+            * sum(self.fanout ** h for h in range(1, self.num_hops + 1))
+            + 1
+        )
+        cap_n = pad_nodes_to or (cap_e + len(seeds))
+        got = native.sample_fanout(
+            self.ptr, self.nbr_src, self.nbr_rel, seeds,
+            self.fanout, self.num_hops,
+            int(self.rng.integers(0, 2**63 - 1)), self.num_nodes,
+            cap_e, cap_n,
+        )
+        if got is not None:
+            edges_s, edges_d, edges_r, node_map = got
+            return self._finalize(
+                list(edges_s), list(edges_d), list(edges_r), node_map,
+                tile, pad_edges_to, pad_nodes_to,
+            )
         frontier = seeds
         edges_s, edges_d, edges_r = [], [], []
         visited = dict((int(s), i) for i, s in enumerate(seeds))
@@ -86,6 +110,14 @@ class NeighborSampler:
         node_map = np.empty(n_local, dtype=np.int64)
         for orig, local in visited.items():
             node_map[local] = orig
+        return self._finalize(
+            edges_s, edges_d, edges_r, node_map, tile, pad_edges_to,
+            pad_nodes_to,
+        )
+
+    def _finalize(self, edges_s, edges_d, edges_r, node_map, tile,
+                  pad_edges_to, pad_nodes_to):
+        n_local = len(node_map)
         # shape-stable batches: pad node count (extra isolated nodes,
         # mapped to node 0's features) and edge/segment row totals so jit
         # caches hit across batches
@@ -104,6 +136,8 @@ class NeighborSampler:
                 + self.num_rels * t,
                 "ntype_rows": -(-num_nodes // t) * t,
             }
+        # compact indices are per-batch-shaped (would defeat jit caching)
+        # and unused in minibatch mode
         sub = build_heterograph(
             np.asarray(edges_s),
             np.asarray(edges_d),
@@ -112,6 +146,7 @@ class NeighborSampler:
             num_rels=self.num_rels,
             tile=tile,
             force_sizes=force,
+            build_compact=False,
         )
         return sub, node_map
 

@@ -35,9 +35,12 @@ KERNEL_NB = 128
 
 
 def build_tile_tables(ptr: np.ndarray, N: int, nb: int = KERNEL_NB) -> TileTables:
-    """Host (numpy) mirror of seg_reduce._tables_from_ptr."""
+    """Host (numpy) mirror of seg_reduce._tables_from_ptr (tile count
+    padded to the kernel's super-block multiple; pad tiles are empty)."""
+    from ..ops.pallas.seg_reduce import TABLE_PAD  # single source of truth
+
     ptr = np.asarray(ptr)
-    n_tiles = -(-N // nb) if N else 0
+    n_tiles = -(-(-(-N // nb)) // TABLE_PAD) * TABLE_PAD if N else 0
     idx = np.minimum(np.arange(n_tiles + 1, dtype=np.int64) * nb, N)
     tptr = ptr[idx]
     node_idx = np.minimum(
@@ -141,9 +144,40 @@ def _build_compact(
     node_ids = np.zeros(seg.n_rows, dtype=np.int64)
     node_ids[np.asarray(seg.inv)] = pair_node
     # canonical edge -> padded compact row
+    E = int(rel.shape[0])
     edge_map = np.zeros(num_padded_edges, dtype=np.int64)
-    edge_map[: rel.shape[0]] = np.asarray(seg.inv)[inverse]
-    return CompactInfo(seg=seg, node_ids=_i32(node_ids), edge_map=_i32(edge_map))
+    edge_map[:E] = np.asarray(seg.inv)[inverse]
+
+    # sorted-scatter metadata (see CompactInfo): real edges ordered by
+    # compact row (padding appended past edge_row_ptr[n_rows], where the
+    # reduce kernel's range-compare drops them)
+    edge_sort = np.argsort(edge_map[:E], kind="stable").astype(np.int64)
+    edge_sort_perm = np.concatenate(
+        [edge_sort, np.arange(E, num_padded_edges, dtype=np.int64)]
+    )
+    edge_row_ptr = np.zeros(seg.n_rows + 1, dtype=np.int64)
+    np.cumsum(
+        np.bincount(edge_map[:E], minlength=seg.n_rows), out=edge_row_ptr[1:]
+    )
+    # compact rows ordered by node id, invalid (padding) rows sorted last
+    rv = np.asarray(seg.row_valid)
+    node_key = np.where(rv, node_ids, num_nodes)
+    node_sort_perm = np.argsort(node_key, kind="stable").astype(np.int64)
+    node_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(
+        np.bincount(node_ids[rv], minlength=num_nodes), out=node_row_ptr[1:]
+    )
+    return CompactInfo(
+        seg=seg,
+        node_ids=_i32(node_ids),
+        edge_map=_i32(edge_map),
+        edge_sort_perm=_i32(edge_sort_perm),
+        edge_row_ptr=_i32(edge_row_ptr),
+        edge_tables=build_tile_tables(edge_row_ptr, seg.n_rows),
+        node_sort_perm=_i32(node_sort_perm),
+        node_row_ptr=_i32(node_row_ptr),
+        node_tables=build_tile_tables(node_row_ptr, num_nodes),
+    )
 
 
 def build_heterograph(
@@ -276,6 +310,27 @@ def build_heterograph(
         compact_dst = _build_compact(
             c_rel, c_dst, num_nodes, num_rels, tile, EP,
             force_rows=force_sizes.get("compact_dst_rows"),
+        )
+        # canonical (dst, rel) runs: contiguous in canonical order, so
+        # dst-compact reductions need no edge permute (CompactInfo)
+        if E:
+            change = (c_dst[1:] != c_dst[:-1]) | (c_rel[1:] != c_rel[:-1])
+            starts = np.concatenate(
+                [[0], np.nonzero(change)[0] + 1]
+            ).astype(np.int64)
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+        n_runs = int(starts.shape[0])
+        assert n_runs == compact_dst.seg.n_src, (n_runs, compact_dst.seg.n_src)
+        canon_ptr = np.concatenate([starts, [E]]).astype(np.int64)
+        run_row = np.asarray(compact_dst.edge_map)[starts]
+        to_run = np.full(compact_dst.seg.n_rows, n_runs, dtype=np.int64)
+        to_run[run_row] = np.arange(n_runs, dtype=np.int64)
+        compact_dst = dataclasses.replace(
+            compact_dst,
+            canon_ptr=_i32(canon_ptr),
+            canon_to_row=_i32(to_run),
+            canon_tables=build_tile_tables(canon_ptr, n_runs),
         )
 
     if rel_names is None:

@@ -64,7 +64,14 @@ def _try_load() -> Optional[ctypes.CDLL]:
             _I64P, _I64P, _I64P,
         ]
         lib.hetg_degree_sort.argtypes = [_I64P, ctypes.c_int64, _I64P]
-        assert lib.hetg_version() == 1
+        lib.hetg_sample_fanout.restype = ctypes.c_int64
+        lib.hetg_sample_fanout.argtypes = [
+            _I64P, _I64P, _I64P, _I64P,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _I64P, _I64P, _I64P, _I64P, _I64P,
+        ]
+        assert lib.hetg_version() == 2
         _LIB = lib
     except Exception:
         _LIB = None
@@ -131,6 +138,41 @@ def unique_pairs(
         n, num_nodes, num_rels, ur, un, inv,
     )
     return ur[:nu].copy(), un[:nu].copy(), inv
+
+
+def sample_fanout(
+    ptr: np.ndarray,
+    nbr_src: np.ndarray,
+    nbr_rel: np.ndarray,
+    seeds: np.ndarray,
+    fanout: int,
+    num_hops: int,
+    rng_seed: int,
+    num_nodes: int,
+    max_edges: int,
+    max_nodes: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Native uniform fanout sampling over the in-CSR; returns
+    (edges_src_local, edges_dst_local, edges_rel, node_map) or None when
+    the library is unavailable (caller falls back to the python loop)."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    es = np.empty(max_edges, dtype=np.int64)
+    ed = np.empty(max_edges, dtype=np.int64)
+    er = np.empty(max_edges, dtype=np.int64)
+    nm = np.empty(max_nodes, dtype=np.int64)
+    nn = np.empty(1, dtype=np.int64)
+    ne = lib.hetg_sample_fanout(
+        np.ascontiguousarray(ptr, np.int64),
+        np.ascontiguousarray(nbr_src, np.int64),
+        np.ascontiguousarray(nbr_rel, np.int64),
+        np.ascontiguousarray(seeds, np.int64),
+        len(seeds), fanout, num_hops, rng_seed, num_nodes,
+        max_edges, max_nodes, es, ed, er, nm, nn,
+    )
+    n_nodes = int(nn[0])
+    return es[:ne].copy(), ed[:ne].copy(), er[:ne].copy(), nm[:n_nodes].copy()
 
 
 def degree_sort(deg: np.ndarray) -> np.ndarray:

@@ -146,8 +146,52 @@ class CompactInfo:
     node_ids: Array  # (seg.n_rows,) node id per padded compact row
     edge_map: Array  # (num_padded_edges,) canonical edge -> padded compact row
 
+    # -- sorted-scatter metadata: the transposes of ``edge_map`` expansion
+    #    and of the node-row gather, reified as *sorted* segmentations so
+    #    both backward passes run on the one-hot segment-reduce kernel
+    #    instead of XLA's unsorted scatter-add (measured ~6 ms vs ~1 ms at
+    #    mag scale).  This is the TPU-native form of the reference's
+    #    single-sided compact kernels (rgat_layers_and_funcs.py:826,
+    #    rgcn_layers_and_funcs.py:782): aggregate per compact row without
+    #    ever scattering. --
+    edge_sort_perm: Optional[Array] = None  # (EP,) edges sorted by compact row
+    edge_row_ptr: Optional[Array] = None  # (seg.n_rows + 1,)
+    edge_tables: Optional[TileTables] = None
+    node_sort_perm: Optional[Array] = None  # (seg.n_rows,) rows by node id
+    node_row_ptr: Optional[Array] = None  # (node_space + 1,)
+    node_tables: Optional[TileTables] = None
 
-_register(CompactInfo, data_fields=("seg", "node_ids", "edge_map"), meta_fields=())
+    # -- destination-side only: canonical (dst, rel) runs.  The canonical
+    #    edge order is sorted by (dst, rel, src), so each dst-compact
+    #    row's edges are already CONTIGUOUS — reductions into dst-compact
+    #    rows need no edge permutation at all (a 346k-row edge-space
+    #    permute measures ~2.25 ms regardless of width; this path skips
+    #    it).  ``canon_ptr`` bounds run k's canonical edge range;
+    #    ``canon_to_row`` maps compact row -> run index (sentinel n_runs
+    #    on padding rows). --
+    canon_ptr: Optional[Array] = None  # (n_runs + 1,)
+    canon_to_row: Optional[Array] = None  # (seg.n_rows,)
+    canon_tables: Optional[TileTables] = None
+
+
+_register(
+    CompactInfo,
+    data_fields=(
+        "seg",
+        "node_ids",
+        "edge_map",
+        "edge_sort_perm",
+        "edge_row_ptr",
+        "edge_tables",
+        "node_sort_perm",
+        "node_row_ptr",
+        "node_tables",
+        "canon_ptr",
+        "canon_to_row",
+        "canon_tables",
+    ),
+    meta_fields=(),
+)
 
 
 @dataclass(frozen=True)

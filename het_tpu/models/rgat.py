@@ -79,9 +79,10 @@ class RGATLayer(nn.Module):
         )
 
         if self.compact:
-            # one projected row per unique (rel, node); logits also compact
+            # one projected row per unique (rel, node); logits also compact.
+            # Everything stays in compact rows all the way into the fused
+            # single-sided aggregation (no per-edge expansion op).
             feat_c_src = ops.compact_typed_linear(g, x, conv_w, side="src")
-            feat_src_e = ops.expand_compact(g, feat_c_src, side="src")
             if self.multiply_first:
                 # el = x · (W·a): skip materializing per-(rel,node) features
                 wa_l = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_l)
@@ -104,8 +105,10 @@ class RGATLayer(nn.Module):
                     feat_c_dst,
                     jnp.take(attn_r, g.compact_dst.seg.row_seg, axis=0),
                 )
-            el = ops.expand_compact(g, el_c, side="src")
-            er = ops.expand_compact(g, er_c, side="dst")
+            h = ops.relational_fused_gat_compact(
+                g, feat_c_src, el_c, er_c, self.leaky_relu_slope,
+                stable=self.stable_softmax,
+            )
         else:
             feat_src_e = ops.edge_typed_linear(g, x, conv_w, side="src")
             rel_e = g.rel
@@ -118,11 +121,10 @@ class RGATLayer(nn.Module):
                 el = ops.edge_rel_inner(g, feat_src_e, attn_l)
                 feat_dst_e = ops.edge_typed_linear(g, x_dst, conv_w, side="dst")
                 er = ops.edge_rel_inner(g, feat_dst_e, attn_r)
-
-        h = ops.relational_fused_gat(
-            g, feat_src_e, el, er, self.leaky_relu_slope,
-            stable=self.stable_softmax,
-        )  # (N, H, D)
+            h = ops.relational_fused_gat(
+                g, feat_src_e, el, er, self.leaky_relu_slope,
+                stable=self.stable_softmax,
+            )  # (N, H, D)
         h = h.reshape(g.num_nodes, self.out_feat)
 
         if self.self_loop:

@@ -31,6 +31,7 @@ from .spmm import (  # noqa: F401
     hgt_softmax_weighted_agg,
     inner_product_edge_node,
     relational_fused_gat,
+    relational_fused_gat_compact,
     rgcn_aggregate,
     rgcn_layer0,
     rgcn_layer1,

@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graph.structures import HeteroGraph, Segments
 from .common import gather_nodes, take_rows
@@ -84,6 +85,28 @@ def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
     return segment_matmul_rows(x_rows, w, seg)
 
 
+@jax.custom_vjp
+def _gather_rows_injective(x, perm, inv, row_valid):
+    """``x[perm]`` zeroed on invalid rows, where perm/inv are mutually
+    inverse injections (each source row appears exactly once among valid
+    rows).  The transpose is then ``ct[inv]`` — a gather, not XLA's
+    unsorted scatter-add (~4x slower on TPU)."""
+    rows = take_rows(x, jnp.where(row_valid, perm, 0))
+    mask = row_valid.reshape((-1,) + (1,) * (rows.ndim - 1))
+    return jnp.where(mask, rows, jnp.zeros_like(rows))
+
+
+def _gri_fwd(x, perm, inv, row_valid):
+    return _gather_rows_injective(x, perm, inv, row_valid), inv
+
+
+def _gri_bwd(inv, ct):
+    return take_rows(ct, inv), None, None, None
+
+
+_gather_rows_injective.defvjp(_gri_fwd, _gri_bwd)
+
+
 def typed_linear(
     x: Array, w: Array, seg: Segments, row_idx: Optional[Array] = None
 ) -> Array:
@@ -93,12 +116,12 @@ def typed_linear(
 
     ``row_idx`` maps padded rows to rows of ``x`` (sentinel ``x.shape[0]``
     allowed -> zero row). Defaults to the segment permutation itself (source
-    rows of the segment space index ``x`` directly, e.g. ntype/compact)."""
+    rows of the segment space index ``x`` directly, e.g. ntype), in which
+    case the gather is injective and gets a gather-transpose VJP."""
     if row_idx is None:
-        row_idx = jnp.where(
-            seg.row_valid, seg.perm, jnp.int32(x.shape[0])
-        )
-    x_rows = gather_nodes(x, row_idx)
+        x_rows = _gather_rows_injective(x, seg.perm, seg.inv, seg.row_valid)
+    else:
+        x_rows = gather_nodes(x, row_idx)
     return segment_matmul(x_rows, w, seg)
 
 
@@ -163,6 +186,39 @@ def edge_typed_linear(
     return g.edge_rel_seg.scatter_back(rows)
 
 
+@jax.custom_vjp
+def _compact_gather(x, row_idx, info):
+    return gather_nodes(x, row_idx)
+
+
+def _cg_fwd(x, row_idx, info):
+    return gather_nodes(x, row_idx), info
+
+
+def _cg_bwd(info, ct):
+    # transpose of the (node -> compact row) gather: permute cotangent rows
+    # into node-sorted order and run the *sorted* one-hot segment reduction
+    # (invalid padding rows sort past node_row_ptr[-1] and are dropped by
+    # the kernel's range compare)
+    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+
+    shape = ct.shape
+    flat = ct.reshape(shape[0], -1)
+    vals_p = take_rows(flat, info.node_sort_perm)
+    N = info.node_row_ptr.shape[0] - 1
+    out = seg_sum_sorted_pallas_raw(
+        vals_p,
+        info.node_row_ptr,
+        N,
+        info.seg.n_rows - info.seg.n_src,  # padding rows = DMA guard
+        tables=info.node_tables,
+    )
+    return out.reshape((N,) + shape[1:]), None, None
+
+
+_compact_gather.defvjp(_cg_fwd, _cg_bwd)
+
+
 def compact_typed_linear(
     g: HeteroGraph, x: Array, w: Array, side: str = "src"
 ) -> Array:
@@ -172,12 +228,52 @@ def compact_typed_linear(
     Hector's compact materialization (reference kind=Enabled/DirectIndexing,
     RGNNOps.inc.h:238 + kernel_enums.h:27-47): the matmul runs once per
     unique (rel, node) instead of once per edge."""
+    from . import get_backend
+
     info = g.compact_src if side == "src" else g.compact_dst
     assert info is not None, "graph built without compact indices"
     sentinel = g.src_space if side == "src" else g.num_nodes
     seg = info.seg
     row_idx = jnp.where(seg.row_valid, info.node_ids, jnp.int32(sentinel))
+    if get_backend() == "pallas":
+        x_rows = _compact_gather(x, row_idx, info)
+        return segment_matmul(x_rows, w, seg)
     return typed_linear(x, w, seg, row_idx)
+
+
+@jax.custom_vjp
+def _expand_compact_sorted(c, info, g):
+    return take_rows(c, info.edge_map)
+
+
+def _ecs_fwd(c, info, g):
+    return take_rows(c, info.edge_map), (info, g)
+
+
+def _ecs_bwd(res, ct):
+    # transpose of the compact -> edge expansion as a sorted reduction over
+    # compact-row-ordered edges: the TPU-native equivalent of the
+    # reference's single-sided compact aggregation kernels
+    # (rgat_layers_and_funcs.py:826, rgcn_layers_and_funcs.py:782) — no
+    # unsorted scatter anywhere (measured ~6 ms -> ~1 ms at mag scale)
+    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+
+    info, g = res
+    shape = ct.shape
+    flat = ct.reshape(shape[0], -1)
+    vals_p = take_rows(flat, info.edge_sort_perm)
+    n_rows = info.seg.n_rows
+    out = seg_sum_sorted_pallas_raw(
+        vals_p,
+        info.edge_row_ptr,
+        n_rows,
+        g.num_padded_edges - g.num_edges,
+        tables=info.edge_tables,
+    )
+    return out.reshape((n_rows,) + shape[1:]), None, None
+
+
+_expand_compact_sorted.defvjp(_ecs_fwd, _ecs_bwd)
 
 
 def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
@@ -185,9 +281,20 @@ def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
 
     Reference: ``rgnn_gather_compact_to_non_compact``
     (RGNNOps.inc.h:446-560). Padding edges get row 0's value; mask downstream
-    where it matters (aggregations drop padding lanes by construction)."""
+    where it matters (aggregations drop padding lanes by construction).
+
+    On the pallas backend the backward runs as a sorted segment reduction
+    over ``CompactInfo.edge_sort_perm`` instead of XLA's unsorted
+    scatter-add."""
+    from . import get_backend
+
     info = g.compact_src if side == "src" else g.compact_dst
     assert info is not None
+    # measured: the sorted-kernel backward beats XLA's unsorted scatter
+    # even for H-column logit cotangents (e2e 27.8 vs 32.2 ms on mag when
+    # narrow expansions were gated back to the scatter)
+    if get_backend() == "pallas" and info.edge_sort_perm is not None:
+        return _expand_compact_sorted(c, info, g)
     return take_rows(c, info.edge_map)
 
 

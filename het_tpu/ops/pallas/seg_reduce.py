@@ -45,70 +45,84 @@ NB = 128  # nodes per output tile
 # 256 for the (EP, 128) packed reduction — fewer grid-loop iterations beat
 # the extra tile-boundary waste)
 CHUNK = 512
+# node tiles per grid step (sum kernel): per-grid-step fixed cost (~2 us)
+# dominates for ragged segmentations with many small tiles (1113 tiles for
+# mag's compact-row space); super-blocking amortizes it without changing
+# the per-edge MXU work.  Tile tables are padded to a SUPER multiple.
+# Measured on mag (dst 576 tiles / compact 1113 tiles): G=4 best
+# (1.44/1.56 ms vs 1.58/2.29 at G=1; G=8 regresses — output-block VMEM
+# pressure).  Tables are padded to 8 so any G in {1, 2, 4, 8} divides.
+TABLE_PAD = 8
+SUPER = 4
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _make_kernel(C: int, nb: int, chunk: int):
+def _make_kernel(C: int, nb: int, chunk: int, G: int):
     def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sems):
         i = pl.program_id(0)
-        start = tptr_ref[i]
-        end = tptr_ref[i + 1]
-        # chunk offsets aligned down to 128 so DMA rows stay tile-aligned;
-        # out-of-range lanes fall outside every [lower, upper) and vanish
-        astart = (start // 128) * 128
-        n_chunks = (end - astart + chunk - 1) // chunk
-        acc[...] = jnp.zeros_like(acc)
-
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        lower = lo_ref[0]  # (1, nb)
-        upper = hi_ref[0]  # (1, nb)
 
-        def dma(c):
-            return pltpu.make_async_copy(
-                vals_hbm.at[pl.ds(astart + c * chunk, chunk), :],
-                vch.at[c % 2],
-                sems.at[c % 2],
-            )
+        for j in range(G):  # G node tiles per grid step (see SUPER)
+            start = tptr_ref[i * G + j]
+            end = tptr_ref[i * G + j + 1]
+            # chunk offsets aligned down to 128 so DMA rows stay
+            # tile-aligned; out-of-range lanes fall outside every
+            # [lower, upper) and vanish
+            astart = (start // 128) * 128
+            n_chunks = (end - astart + chunk - 1) // chunk
+            acc[...] = jnp.zeros_like(acc)
 
-        @pl.when(n_chunks > 0)
-        def _():
-            dma(0).start()
+            lower = lo_ref[j]  # (1, nb)
+            upper = hi_ref[j]  # (1, nb)
 
-        def body(c, _):
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                dma(c + 1).start()  # double buffering: prefetch next chunk
-
-            dma(c).wait()
-            off = astart + c * chunk
-            gidx = lane_iota + off  # (chunk, 1)
-            onehot = jnp.where(
-                (gidx >= lower) & (gidx < upper), 1.0, 0.0
-            ).astype(jnp.bfloat16)  # exact in bf16
-            # bf16x3 significand split of the values (24 mantissa bits):
-            # 3 bf16 MXU passes instead of the ~6 of Precision.HIGHEST —
-            # exact for the 0/1 left operand, better than sequential f32
-            v32 = vch[c % 2].astype(jnp.float32)
-            v_hi = v32.astype(jnp.bfloat16)
-            r1 = v32 - v_hi.astype(jnp.float32)
-            v_mid = r1.astype(jnp.bfloat16)
-            v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            total = acc[...]
-            for part in (v_hi, v_mid, v_lo):
-                total = total + jax.lax.dot_general(
-                    onehot,
-                    part,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            def dma(c):
+                return pltpu.make_async_copy(
+                    vals_hbm.at[pl.ds(astart + c * chunk, chunk), :],
+                    vch.at[c % 2],
+                    sems.at[c % 2],
                 )
-            acc[...] = total
-            return 0
 
-        jax.lax.fori_loop(0, n_chunks, body, 0)
-        out_ref[...] = acc[...].astype(out_ref.dtype)
+            @pl.when(n_chunks > 0)
+            def _():
+                dma(0).start()
+
+            def body(c, _):
+                @pl.when(c + 1 < n_chunks)
+                def _():
+                    dma(c + 1).start()  # double buffer: prefetch next
+
+                dma(c).wait()
+                off = astart + c * chunk
+                gidx = lane_iota + off  # (chunk, 1)
+                onehot = jnp.where(
+                    (gidx >= lower) & (gidx < upper), 1.0, 0.0
+                ).astype(jnp.bfloat16)  # exact in bf16
+                # bf16x3 significand split of the values (24 mantissa
+                # bits): 3 bf16 MXU passes instead of the ~6 of
+                # Precision.HIGHEST — exact for the 0/1 left operand
+                v32 = vch[c % 2].astype(jnp.float32)
+                v_hi = v32.astype(jnp.bfloat16)
+                r1 = v32 - v_hi.astype(jnp.float32)
+                v_mid = r1.astype(jnp.bfloat16)
+                v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                total = acc[...]
+                for part in (v_hi, v_mid, v_lo):
+                    total = total + jax.lax.dot_general(
+                        onehot,
+                        part,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc[...] = total
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, body, 0)
+            out_ref[j * nb : (j + 1) * nb, :] = acc[...].astype(
+                out_ref.dtype
+            )
 
     return kernel
 
@@ -211,9 +225,10 @@ def seg_max_dst_pallas_raw(
 
 def _tables_from_ptr(ptr: Array, N: int, nb: int):
     """(tile_ptr (T+1,), lower (T, 1, nb), upper (T, 1, nb)) boundary
-    tables for any sorted segmentation given its (N+1,) row pointer."""
+    tables for any sorted segmentation given its (N+1,) row pointer.
+    T is padded to a SUPER multiple (pad tiles have empty ranges)."""
     ptr = jnp.asarray(ptr)
-    n_tiles = -(-N // nb)
+    n_tiles = -(-(-(-N // nb)) // TABLE_PAD) * TABLE_PAD if N else 0
     idx = jnp.minimum(
         jnp.arange(n_tiles + 1, dtype=jnp.int32) * nb, N
     )
@@ -273,25 +288,32 @@ def seg_sum_sorted_pallas_raw(
         interpret = _interpret_default()
     EP, C = vals2d.shape
     assert chunk % 128 == 0, "chunk must be a multiple of 128"
-    assert n_guard >= chunk, (
-        "needs edge_extra >= chunk guard rows for chunked DMA"
-    )
+    if n_guard < chunk:
+        # chunked DMA may over-read up to `chunk` rows past row_ptr[N];
+        # append guard rows when the caller's layout doesn't provide them
+        # (over-read lanes fall outside every [lower, upper) and vanish)
+        vals2d = jnp.concatenate(
+            [vals2d, jnp.zeros((chunk - n_guard, C), vals2d.dtype)], axis=0
+        )
+        EP += chunk - n_guard
     C_orig = C
     C = -(-C // 128) * 128 if not interpret else C
     if C != C_orig:
         vals2d = jnp.pad(vals2d, ((0, 0), (0, C - C_orig)))
-    n_tiles = -(-N // nb)
     tptr, lower, upper = _unpack_tables(tables, row_ptr, N, nb)
+    n_tiles = int(lower.shape[0])  # SUPER-padded (pad tiles are empty)
+    G = SUPER if n_tiles >= SUPER else 1
+    assert n_tiles % max(G, 1) == 0 or n_tiles == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(max(n_tiles // max(G, 1), 1) if n_tiles else 0,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # vals stay in HBM
-            pl.BlockSpec((1, 1, nb), lambda i, tp: (i, 0, 0)),
-            pl.BlockSpec((1, 1, nb), lambda i, tp: (i, 0, 0)),
+            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
+            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((nb, C), lambda i, tp: (i, 0)),
+        out_specs=pl.BlockSpec((G * nb, C), lambda i, tp: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, C), vals2d.dtype),  # double buffer
             pltpu.VMEM((nb, C), jnp.float32),
@@ -299,7 +321,7 @@ def seg_sum_sorted_pallas_raw(
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(C, nb, chunk),
+        _make_kernel(C, nb, chunk, G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * nb, C), vals2d.dtype),
         interpret=interpret,

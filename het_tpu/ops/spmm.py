@@ -153,6 +153,45 @@ def relational_fused_gat(
     return scatter_sum_dst(g, feat_src_e * alpha[..., None])
 
 
+def relational_fused_gat_compact(
+    g: HeteroGraph,
+    feat_c: Array,
+    el_c: Array,
+    er_c: Array,
+    slope: float,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Single-sided compact fused GAT: inputs live on compact rows
+    (feat_c/el_c source-side (UCs, ...), er_c destination-side (UCd, H))
+    and are softmax-aggregated into destinations without materializing
+    per-edge tensors as standalone arrays.
+
+    Reference: ``relational_fused_gat_compact_as_of_node_separate_coo_
+    single_sided`` (hrt/python/backend/rgat_layers_and_funcs.py:826) with
+    direct-index compact resolution (kernel_enums.h:100-119)."""
+    from . import get_backend
+
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import fused_softmax_agg_compact
+
+        return fused_softmax_agg_compact(
+            g,
+            feat_c,
+            el_c,
+            er_c,
+            act="leaky_relu",
+            slope=slope,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    from .linear import expand_compact
+
+    feat_e = expand_compact(g, feat_c, side="src")
+    el_e = expand_compact(g, el_c, side="src")
+    er_e = expand_compact(g, er_c, side="dst")
+    return relational_fused_gat(g, feat_e, el_e, er_e, slope, stable=stable)
+
+
 def hgt_edge_softmax(
     g: HeteroGraph, score_e: Array, mu: Array, *, stable: bool = False
 ) -> Array:

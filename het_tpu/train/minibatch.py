@@ -2,16 +2,26 @@
 
 The reference's ``HET_RGNN_train`` drives either full-graph or DGL-sampled
 minibatch iterations (hrt/python/RGNNUtils/RGNNUtils.py:199-433 +
-mydglgraph_converters.py:18-103).  Here the sampler is the in-tree
-:class:`~het_tpu.data.sampling.NeighborSampler`; per-batch subgraphs are
+mydglgraph_converters.py:18-103), with a **trainable** embedding table
+providing input features (``HET_RelGraphEmbed``, RGNNUtils.py:36-78).
+Here the sampler is the in-tree :class:`~het_tpu.data.sampling.
+NeighborSampler` (native C++ hot loop when built); per-batch subgraphs are
 ordinary HeteroGraphs.
 
-jit-stability note: each batch's subgraph has its own shapes, so a naive
-loop recompiles per batch.  Shapes are stabilized by (a) fixed seed count
-per batch and (b) padding edge totals to a shared bucket
-(``pad_edges_to``); node counts still vary, so the loss is computed under
-``jax.jit`` keyed by the (bucketed) shape tuple — a handful of compiles,
-then cache hits.
+Faithful to the reference driver, this mode:
+
+* trains the embedding table as a parameter — batch rows are gathered
+  inside the jitted step, so the scatter-add of their gradients and the
+  Adam update of the full table run on device;
+* evaluates train/test accuracy on sampled batches and supports
+  patience-based early stopping (reference EarlyStopping);
+* reports the driver's metrics schema (mean fwd/bwd per batch, measured
+  with the chained-slope method on a settled batch).
+
+jit-stability: each batch's subgraph has its own shapes, so a naive loop
+recompiles per batch.  Shapes are stabilized by fixed seed count, padded
+edge/node totals, and compact-free subgraphs — one compile, then cache
+hits.
 """
 
 from __future__ import annotations
@@ -27,6 +37,7 @@ import optax
 from ..data.loaders import Dataset, load_dataset
 from ..data.sampling import NeighborSampler
 from ..graph.build import round_up
+from ..utils.misc import EarlyStopping
 from .config import TrainConfig
 from .driver import build_model
 
@@ -59,10 +70,15 @@ def train_minibatch(
     model = build_model(cfg, data)
     labels_full = np.asarray(data.labels)
 
-    # feature source: learned global embedding table, rows gathered per batch
+    # trainable global embedding table (reference HET_RelGraphEmbed,
+    # RGNNUtils.py:36-78): rows are gathered *inside* the jitted step so
+    # the gradient lands back in the table via the gather's transpose and
+    # Adam updates the whole table on device
     key = jax.random.PRNGKey(cfg.seed)
     k_emb, key = jax.random.split(key)
-    embed = jax.random.uniform(k_emb, (g_full.num_nodes, cfg.n_infeat))
+    embed0 = jax.random.uniform(
+        k_emb, (g_full.num_nodes, cfg.n_infeat), jnp.float32, -0.5, 0.5
+    )
 
     params = None
     tx = optax.adam(cfg.lr)
@@ -71,9 +87,10 @@ def train_minibatch(
     B = cfg.batch_size  # static: the loop only runs full-size batches
 
     @jax.jit
-    def step(params, opt_state, g, x, y):
+    def step(params, opt_state, g, node_map, y):
         def loss_fn(p):
-            logits = model.apply(p, g, x)
+            x = jnp.take(p["embed"], node_map, axis=0)
+            logits = model.apply(p["model"], g, x)
             logp = jax.nn.log_softmax(logits[:B], axis=-1)
             return -jnp.mean(
                 jnp.take_along_axis(logp, y[:B, None], axis=1)
@@ -83,9 +100,35 @@ def train_minibatch(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def predict(params, g, node_map):
+        x = jnp.take(params["embed"], node_map, axis=0)
+        logits = model.apply(params["model"], g, x)
+        return jnp.argmax(logits[:B], axis=-1)
+
+    def eval_acc(params, seeds, max_eval_batches=8):
+        correct = total = 0
+        for i in range(0, len(seeds) - B + 1, B):
+            if i // B >= max_eval_batches:
+                break
+            s = seeds[i : i + B]
+            sub, node_map = sampler.sample(
+                s, tile=cfg.tile, pad_edges_to=pad_edges,
+                pad_nodes_to=pad_nodes,
+            )
+            pred = np.asarray(
+                predict(params, sub, jnp.asarray(node_map.astype(np.int32)))
+            )
+            correct += int((pred == labels_full[s]).sum())
+            total += B
+        return correct / max(total, 1)
+
     losses = []
     t0 = time.perf_counter()
     seeds_all = np.asarray(data.train_idx)
+    test_seeds = np.asarray(
+        data.test_idx if data.test_idx is not None else seeds_all
+    )
     n_batches = 0
     # pad to shared shapes: fixed seed count, bucketed edge totals
     assert not cfg.compact, "minibatch mode: compact not supported yet"
@@ -94,37 +137,87 @@ def train_minibatch(
     )
     pad_edges = round_up(max_edges + 2048, 2048)
     pad_nodes = round_up(max_edges + cfg.batch_size, max(cfg.tile, 128))
+    stopper = (
+        EarlyStopping(patience=cfg.patience, mode="min")
+        if cfg.patience
+        else None
+    )
+    sample_wall = 0.0
+    stopped = False
+    first_batch = None
     for ep in range(cfg.num_epochs):
         rng = np.random.default_rng(cfg.seed + ep)
         order = rng.permutation(len(seeds_all))
+        ep_losses = []
         for i in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
             seeds = seeds_all[order[i : i + cfg.batch_size]]
+            ts = time.perf_counter()
             sub, node_map = sampler.sample(
                 seeds, tile=cfg.tile, pad_edges_to=pad_edges,
                 pad_nodes_to=pad_nodes,
             )
-            x = jnp.asarray(np.asarray(embed)[node_map])
+            sample_wall += time.perf_counter() - ts
+            nm = jnp.asarray(node_map.astype(np.int32))
             y = jnp.asarray(labels_full[node_map].astype(np.int32))
             if params is None:
                 k_init, key = jax.random.split(key)
-                params = model.init(k_init, sub, x)
+                x0 = jnp.take(embed0, nm, axis=0)
+                params = {
+                    "model": model.init(k_init, sub, x0),
+                    "embed": embed0,
+                }
                 opt_state = tx.init(params)
-            params, opt_state, loss = step(params, opt_state, sub, x, y)
+                first_batch = (sub, nm, y)
+            params, opt_state, loss = step(params, opt_state, sub, nm, y)
             losses.append(float(loss))
+            ep_losses.append(float(loss))
             n_batches += 1
             if n_batches >= cfg.max_batches:
+                break
+        if stopper is not None and ep_losses:
+            if stopper.step(float(np.mean(ep_losses))):
+                stopped = True
                 break
         if n_batches >= cfg.max_batches:
             break
     wall = time.perf_counter() - t0
+
+    train_acc = eval_acc(params, seeds_all)
+    test_acc = eval_acc(params, test_seeds)
+    emb_delta = float(
+        jnp.max(jnp.abs(params["embed"] - embed0))
+    )  # > 0 iff the table actually trains
+
+    # reference metrics schema: fwd/bwd split on a settled batch
+    from ..utils.timing import op_time_ms
+
+    sub, nm, y = first_batch
+
+    def fwd_only(p):
+        x = jnp.take(p["embed"], nm, axis=0)
+        return model.apply(p["model"], sub, x)
+
+    t_fwd = op_time_ms(fwd_only, params, n1=2, n2=8, trials=2)
+    t_step = op_time_ms(
+        lambda p: step(p, opt_state, sub, nm, y)[0], params,
+        n1=2, n2=8, trials=2,
+    )
     return {
         "task": "minibatch_entity",
         "dataset": data.name,
         "loss_list": losses,
         "n_batches": n_batches,
         "wall_s": wall,
+        "sample_wall_s": sample_wall,
         "batch_size": cfg.batch_size,
         "fanout": cfg.fanout,
         "num_hops": cfg.num_hops,
+        "train_acc": train_acc,
+        "test_acc": test_acc,
+        "embed_trained_delta": emb_delta,
+        "early_stopped": stopped,
+        "mean_forward_time": t_fwd,
+        "mean_backward_time": max(t_step - t_fwd, 0.0),
+        "mean_training_time": t_step,
         "synthetic_data": data.meta.get("synthetic", False),
     }

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <random>
 #include <vector>
 
 extern "C" {
@@ -92,6 +93,78 @@ void hetg_degree_sort(const int64_t* deg, int64_t num_nodes,
   std::memcpy(node_order, idx.data(), sizeof(int64_t) * num_nodes);
 }
 
-int64_t hetg_version() { return 1; }
+// Uniform fanout in-neighborhood sampling (the minibatch sampler hot
+// loop; reference: DGL dataloader sampling consumed by
+// convert_sampled_iteration_to_mydgl_graph,
+// hrt/python/utils/mydglgraph_converters.py:18-103).
+//
+// ptr/nbr_src/nbr_rel: in-CSR over destinations (ptr size num_nodes+1).
+// seeds get local ids [0, n_seeds); discovered nodes follow in discovery
+// order.  Per frontier node, takes all in-edges when deg <= fanout, else
+// `fanout` distinct ones (Floyd's sampling).  Outputs are caller-
+// allocated: edges_* sized >= max_edges, node_map >= max_nodes; sampling
+// stops adding a node's edges if either capacity would overflow.
+// Returns the edge count; *n_nodes_out receives the node count.
+int64_t hetg_sample_fanout(const int64_t* ptr, const int64_t* nbr_src,
+                           const int64_t* nbr_rel, const int64_t* seeds,
+                           int64_t n_seeds, int64_t fanout, int64_t num_hops,
+                           uint64_t rng_seed, int64_t num_nodes,
+                           int64_t max_edges, int64_t max_nodes,
+                           int64_t* edges_s, int64_t* edges_d,
+                           int64_t* edges_r, int64_t* node_map,
+                           int64_t* n_nodes_out) {
+  std::vector<int64_t> local(num_nodes, -1);
+  std::vector<int64_t> frontier, next;
+  std::mt19937_64 rng(rng_seed);
+  int64_t n_nodes = 0, n_edges = 0;
+  for (int64_t i = 0; i < n_seeds && n_nodes < max_nodes; ++i) {
+    int64_t s = seeds[i];
+    if (local[s] < 0) {
+      local[s] = n_nodes;
+      node_map[n_nodes++] = s;
+      frontier.push_back(s);
+    }
+  }
+  std::vector<int64_t> picks;
+  for (int64_t hop = 0; hop < num_hops; ++hop) {
+    next.clear();
+    for (int64_t v : frontier) {
+      int64_t lo = ptr[v], hi = ptr[v + 1], deg = hi - lo;
+      if (deg == 0) continue;
+      picks.clear();
+      if (deg <= fanout) {
+        for (int64_t t = lo; t < hi; ++t) picks.push_back(t);
+      } else {
+        // Floyd's algorithm: fanout distinct draws from [lo, hi)
+        for (int64_t j = deg - fanout; j < deg; ++j) {
+          int64_t t = lo + static_cast<int64_t>(rng() % (uint64_t)(j + 1));
+          if (std::find(picks.begin(), picks.end(), t) != picks.end())
+            t = lo + j;
+          picks.push_back(t);
+        }
+      }
+      if (n_edges + static_cast<int64_t>(picks.size()) > max_edges) break;
+      for (int64_t t : picks) {
+        int64_t u = nbr_src[t];
+        if (local[u] < 0) {
+          if (n_nodes >= max_nodes) continue;
+          local[u] = n_nodes;
+          node_map[n_nodes++] = u;
+          next.push_back(u);
+        }
+        edges_s[n_edges] = local[u];
+        edges_d[n_edges] = local[v];
+        edges_r[n_edges] = nbr_rel[t];
+        n_edges++;
+      }
+    }
+    frontier.swap(next);
+    if (frontier.empty()) break;
+  }
+  *n_nodes_out = n_nodes;
+  return n_edges;
+}
+
+int64_t hetg_version() { return 2; }
 
 }  // extern "C"

@@ -75,6 +75,10 @@ def main():
 
             return jax.value_and_grad(loss_fn)(params)
 
+        def fwd(xx):
+            return model.apply(params, g, xx)
+
+        step.fwd = fwd
         return step
 
     # pre-materialized intermediates for op-level rows
@@ -94,6 +98,14 @@ def main():
             return jax.grad(
                 lambda a: jnp.sum(fn(a, *extra) ** 2)
             )(xx)
+
+        return run
+
+    def grad_w_of(fn):
+        """Gradient wrt the weight operand (the dW kernel path)."""
+
+        def run(ww):
+            return jax.grad(lambda a: jnp.sum(fn(a) ** 2))(ww)
 
         return run
 
@@ -131,11 +143,25 @@ def main():
             grad_of(lambda xx: ops.edge_typed_linear(g, xx, w)),
             bytes_moved=(N * F_IN + 3 * EP * F_IN + 3 * EP * C) * it,
             flops=6.0 * EP * H * F_IN * D)
+        # --- dW paths (what the training step differentiates: params)
+        add(tag + "compact_typed_linear dW (wrt w)", w,
+            grad_w_of(lambda ww: ops.compact_typed_linear(g, x, ww)),
+            bytes_moved=(N * F_IN + 2 * UCs * F_IN + 2 * UCs * C) * it,
+            flops=4.0 * UCs * H * F_IN * D)
+        add(tag + "compact wa-logit dW (wrt wa)", wa,
+            grad_w_of(lambda ww: ops.compact_typed_linear(
+                g, x, ww[..., None])),
+            bytes_moved=(N * F_IN + 2 * UCs * F_IN + 2 * UCs * H) * it,
+            flops=4.0 * UCs * H * F_IN)
         # --- attention logit path (multiply_first: O=1 matmul)
         add(tag + "compact wa-logit fwd (el_c)", x,
             lambda xx: ops.compact_typed_linear(g, xx, wa[..., None]),
             bytes_moved=(N * F_IN + UCs * F_IN + UCs * H) * it,
             flops=2.0 * UCs * H * F_IN)
+        add(tag + "expand_compact el (EP,H) fwd+grad", x,
+            grad_of(lambda xx: ops.expand_compact(
+                g, ops.compact_typed_linear(g, xx, wa[..., None])[..., 0])),
+            bytes_moved=(N * F_IN + 3 * UCs * F_IN + 4 * EP * H) * it)
         # --- compact expansion
         add(tag + "expand_compact (UC,H,D)->(EP,H,D) fwd", feat_c,
             lambda fc: ops.expand_compact(g, fc),
@@ -162,10 +188,13 @@ def main():
     # --- end-to-end steps
     e2e = []
 
-    def add_e2e(label, backend, compact, mult):
+    def add_e2e(label, backend, compact, mult, fwd_only=False):
         ops.set_backend(backend)
         try:
-            ms = op_time_ms(model_step(compact, mult), x, n1=2,
+            fn = model_step(compact, mult)
+            if fwd_only:
+                fn = fn.fwd
+            ms = op_time_ms(fn, x, n1=2,
                             n2=8 if quick else 14, trials=2)
         finally:
             ops.set_backend("xla")
@@ -174,6 +203,8 @@ def main():
         print(e2e[-1], flush=True)
 
     add_e2e("pallas compact+multfirst (headline)", "pallas", True, True)
+    add_e2e("pallas compact+multfirst fwd only", "pallas", True, True,
+            fwd_only=True)
     if not quick:
         add_e2e("pallas plain", "pallas", False, False)
         add_e2e("xla plain", "xla", False, False)

@@ -120,3 +120,41 @@ def test_minibatch_training():
     m = train_minibatch(cfg)
     assert m["n_batches"] >= 2
     assert np.isfinite(m["loss_list"]).all()
+    # the embedding table is a trained parameter (reference
+    # HET_RelGraphEmbed semantics), not a frozen feature matrix
+    assert m["embed_trained_delta"] > 0.0
+    assert 0.0 <= m["train_acc"] <= 1.0 and 0.0 <= m["test_acc"] <= 1.0
+    assert m["mean_forward_time"] >= 0.0
+    assert m["mean_training_time"] >= 0.0
+
+
+def test_native_sampler_contract():
+    """Native and python sampler paths obey the same contract: seeds get
+    the first local ids, edges reference in-graph neighbors with correct
+    relations, shapes honour the padding."""
+    from het_tpu.data.sampling import NeighborSampler
+    from het_tpu.graph import native, random_heterograph
+
+    g = random_heterograph(num_nodes=60, num_edges=300, num_rels=3,
+                           seed=5, tile=8)
+    E = g.num_edges
+    src = np.asarray(g.src)[:E]
+    dst = np.asarray(g.dst)[:E]
+    rel = np.asarray(g.rel)[:E]
+    edge_set = {(int(s), int(d), int(r)) for s, d, r in zip(src, dst, rel)}
+    sampler = NeighborSampler(src, dst, rel, g.num_nodes, g.num_rels,
+                              fanout=3, num_hops=2, seed=1)
+    seeds = np.asarray([3, 7, 11, 19])
+    sub, node_map = sampler.sample(seeds, tile=8, pad_edges_to=2048,
+                                   pad_nodes_to=128)
+    assert native.available()  # this env has the toolchain
+    assert list(node_map[: len(seeds)]) == list(seeds)
+    assert sub.num_padded_edges == 2048
+    ES = sub.num_edges
+    s_l = np.asarray(sub.src)[:ES]
+    d_l = np.asarray(sub.dst)[:ES]
+    r_l = np.asarray(sub.rel)[:ES]
+    for s, d, r in zip(s_l, d_l, r_l):
+        assert (
+            int(node_map[s]), int(node_map[d]), int(r)
+        ) in edge_set
