@@ -111,6 +111,7 @@ def build_segments(
         n_rows=n_rows,
         n_segments=n_segments,
         tile=tile,
+        seg_ptrs_static=tuple(int(p) for p in seg_ptrs),
         seg_ptrs=_i32(seg_ptrs),
         tile_seg=_i32(tile_seg),
         row_seg=_i32(row_seg),
@@ -128,17 +129,33 @@ def _build_compact(
     tile: int,
     num_padded_edges: int,
     force_rows: Optional[int] = None,
+    force_pairs: Optional[int] = None,
 ) -> CompactInfo:
     """Unique (relation, node) pairs + direct-index edge map.
 
     Reference semantics: per-relation ``torch.unique`` over the edge endpoint
     slice plus inverse indices (hrt/python/utils_lite/mydgl_graph_methods.py:11
-    and kernel_enums.h direct-indexing kind)."""
+    and kernel_enums.h direct-indexing kind).
+
+    ``force_pairs`` pads the unique-pair count itself with dummy
+    (last-relation, sentinel-node) pairs so partitioned shards share one
+    static shape (het_tpu/parallel/partition.py): dummy rows gather the
+    zero sentinel row forward and are referenced by no edge, so they carry
+    exactly zero gradient."""
     pair_rel, pair_node, inverse = native.unique_pairs(
         rel, node, num_nodes, num_rels
     )
     pair_rel = pair_rel.astype(np.int64)
     pair_node = pair_node.astype(np.int64)
+    if force_pairs is not None:
+        extra = force_pairs - int(pair_rel.shape[0])
+        assert extra >= 0, (force_pairs, pair_rel.shape[0])
+        pair_rel = np.concatenate(
+            [pair_rel, np.full(extra, num_rels - 1, dtype=np.int64)]
+        )
+        pair_node = np.concatenate(
+            [pair_node, np.full(extra, num_nodes, dtype=np.int64)]
+        )
     seg = build_segments(pair_rel, num_rels, tile, force_rows=force_rows)
     # node id per padded compact row
     node_ids = np.zeros(seg.n_rows, dtype=np.int64)
@@ -159,13 +176,17 @@ def _build_compact(
     np.cumsum(
         np.bincount(edge_map[:E], minlength=seg.n_rows), out=edge_row_ptr[1:]
     )
-    # compact rows ordered by node id, invalid (padding) rows sorted last
+    # compact rows ordered by node id; invalid (padding) rows and dummy
+    # forced-pair rows (sentinel node) sort last, past node_row_ptr[-1],
+    # where the reduce kernel's range compare drops them
     rv = np.asarray(seg.row_valid)
-    node_key = np.where(rv, node_ids, num_nodes)
+    real_node = rv & (node_ids < num_nodes)
+    node_key = np.where(real_node, node_ids, num_nodes)
     node_sort_perm = np.argsort(node_key, kind="stable").astype(np.int64)
     node_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(
-        np.bincount(node_ids[rv], minlength=num_nodes), out=node_row_ptr[1:]
+        np.bincount(node_ids[real_node], minlength=num_nodes),
+        out=node_row_ptr[1:],
     )
     return CompactInfo(
         seg=seg,
@@ -306,10 +327,12 @@ def build_heterograph(
         compact_src = _build_compact(
             c_rel, c_src, src_space, num_rels, tile, EP,
             force_rows=force_sizes.get("compact_src_rows"),
+            force_pairs=force_sizes.get("compact_src_pairs"),
         )
         compact_dst = _build_compact(
             c_rel, c_dst, num_nodes, num_rels, tile, EP,
             force_rows=force_sizes.get("compact_dst_rows"),
+            force_pairs=force_sizes.get("compact_dst_pairs"),
         )
         # canonical (dst, rel) runs: contiguous in canonical order, so
         # dst-compact reductions need no edge permute (CompactInfo)
@@ -321,16 +344,21 @@ def build_heterograph(
         else:
             starts = np.zeros(0, dtype=np.int64)
         n_runs = int(starts.shape[0])
-        assert n_runs == compact_dst.seg.n_src, (n_runs, compact_dst.seg.n_src)
-        canon_ptr = np.concatenate([starts, [E]]).astype(np.int64)
+        # one run per real unique (dst, rel) pair; forced dummy pairs pad
+        # the run table with empty [E, E) ranges so shard shapes match
+        runs_cap = compact_dst.seg.n_src
+        assert n_runs <= runs_cap, (n_runs, runs_cap)
+        canon_ptr = np.concatenate(
+            [starts, np.full(runs_cap - n_runs + 1, E, dtype=np.int64)]
+        )
         run_row = np.asarray(compact_dst.edge_map)[starts]
-        to_run = np.full(compact_dst.seg.n_rows, n_runs, dtype=np.int64)
+        to_run = np.full(compact_dst.seg.n_rows, runs_cap, dtype=np.int64)
         to_run[run_row] = np.arange(n_runs, dtype=np.int64)
         compact_dst = dataclasses.replace(
             compact_dst,
             canon_ptr=_i32(canon_ptr),
             canon_to_row=_i32(to_run),
-            canon_tables=build_tile_tables(canon_ptr, n_runs),
+            canon_tables=build_tile_tables(canon_ptr, runs_cap),
         )
 
     if rel_names is None:

@@ -83,6 +83,13 @@ class Segments:
     inv: Array  # (n_src,) source row -> padded row
     row_valid: Array  # (n_rows,) bool, False on padding rows
 
+    # host-known copy of seg_ptrs (trace-time constant).  Enables the
+    # static-hybrid large-R segment matmul: per-relation STATIC-sliced
+    # dense matmuls for the largest relations — zero gather traffic —
+    # measured 2.6 ms vs 3.4 ms XLA gather-einsum at wikikg2 scale
+    # (docs/SEGMM_STRATEGIES_r2.json).  None on legacy pickles.
+    seg_ptrs_static: Optional[Tuple[int, ...]] = None
+
     @property
     def n_tiles(self) -> int:
         return self.n_rows // self.tile if self.tile else 0
@@ -105,7 +112,7 @@ class Segments:
 _register(
     Segments,
     data_fields=("seg_ptrs", "tile_seg", "row_seg", "perm", "inv", "row_valid"),
-    meta_fields=("n_src", "n_rows", "n_segments", "tile"),
+    meta_fields=("n_src", "n_rows", "n_segments", "tile", "seg_ptrs_static"),
 )
 
 

@@ -136,10 +136,10 @@ class HGTLayer(nn.Module):
         v = halo(ops.ntype_linear(g, h, v_w))
 
         if self.compact:
-            # attn_weight·q once per unique (rel, dst) (models.py:179-210)
+            # attn_weight·q once per unique (rel, dst) (models.py:179-210),
+            # scored single-sided from compact rows (no per-edge expansion)
             att_q_c = ops.compact_typed_linear(g, q, rel_att, side="dst")
-            att_q_e = ops.expand_compact(g, att_q_c, side="dst")  # (EP,H,dk)
-            score = jnp.sum(att_q_e * ops.gather_src(g, k), axis=-1)
+            score = ops.compact_dst_inner(g, att_q_c, k)
         else:
             att_q_e = ops.edge_typed_linear(g, q, rel_att, side="dst")
             score = ops.inner_product_edge_node(g, att_q_e, k, side="src")

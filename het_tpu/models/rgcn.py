@@ -67,7 +67,8 @@ class RGCNLayer(nn.Module):
     """Edge-parallel RGCN layer: out[dst] = sum_e norm_e * (x[src_e] @ W[rel_e]).
 
     ``compact=True`` computes x·W once per unique (rel, src) then aggregates
-    the expanded rows (reference compact path, RGCN.py:316-331)."""
+    compact rows single-sided — no per-edge expansion (reference compact
+    path, RGCN.py:316-331 + rgcn_layers_and_funcs.py:782)."""
 
     in_feat: int
     out_feat: int
@@ -102,8 +103,7 @@ class RGCNLayer(nn.Module):
             feat_c = ops.compact_typed_linear(
                 g, x, w[:, None, :, :], side="src"
             )  # (U, 1, out)
-            feat_e = ops.expand_compact(g, feat_c, side="src")[:, 0, :]
-            h = ops.rgcn_aggregate(g, g.edge_mask(feat_e), norm_e)
+            h = ops.rgcn_aggregate_compact(g, feat_c[:, 0, :], norm_e)
         else:
             h = ops.rgcn_layer1(g, x, w, norm_e)
         if self.self_loop:

@@ -16,6 +16,7 @@ from .common import (  # noqa: F401
     scatter_sum_src,
 )
 from .linear import (  # noqa: F401
+    compact_dst_inner,
     compact_typed_linear,
     edge_rel_inner,
     edge_typed_linear,
@@ -33,6 +34,7 @@ from .spmm import (  # noqa: F401
     relational_fused_gat,
     relational_fused_gat_compact,
     rgcn_aggregate,
+    rgcn_aggregate_compact,
     rgcn_layer0,
     rgcn_layer1,
     rgcn_norm,

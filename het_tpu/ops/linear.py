@@ -25,7 +25,7 @@ per-tile weight gathers by scalar-prefetching ``tile_seg``.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -62,14 +62,143 @@ def segment_matmul_rows(
     return y.reshape(seg.n_rows, H, O).astype(x_rows.dtype)
 
 
-def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
-    """Backend-dispatching segment matmul (XLA tile-batched einsum or the
-    Pallas kernel set in ops/pallas/segment_mm.py).
+# Number of largest relations given dedicated static-sliced matmuls in the
+# hybrid large-R path (device sweep: top64 = 2.61 ms, top128 = 2.68 ms,
+# top32 = 3.18 ms, all-static = 3.30 ms, gather-einsum = 3.43 ms at
+# wikikg2 scale — docs/SEGMM_STRATEGIES_r2.json).
+STATIC_MIX_TOPK = 64
 
-    Weights beyond the VMEM-residency budget use the XLA path even on the
-    pallas backend: the streamed per-tile Pallas variant is correct but
-    measured ~2x slower than XLA's gather-einsum at wikikg2-like relation
-    counts (535 rels, K=128) — per-grid-step overhead dominates."""
+
+@lru_cache(maxsize=None)
+def _static_mix_plan(ptrs, k_static):
+    """Plan of ('mm', lo, hi, rel) / ('gather', lo, hi) items covering the
+    padded row space in order.  The ``k_static`` largest relations get
+    dedicated entries; contiguous runs of the rest merge into gather
+    chunks.  All bounds are Python ints (trace-time constants)."""
+    import numpy as np
+
+    ptrs = np.asarray(ptrs)
+    R = len(ptrs) - 1
+    sizes = ptrs[1:] - ptrs[:-1]
+    big = set(np.argsort(sizes)[::-1][:k_static].tolist())
+    plan = []
+    r = 0
+    while r < R:
+        if r in big and sizes[r] > 0:
+            plan.append(("mm", int(ptrs[r]), int(ptrs[r + 1]), r))
+            r += 1
+        else:
+            r0 = r
+            while r < R and not (r in big and sizes[r] > 0):
+                r += 1
+            if ptrs[r] > ptrs[r0]:
+                plan.append(("gather", int(ptrs[r0]), int(ptrs[r]), r0))
+    return tuple(plan)
+
+
+def segment_matmul_static_mix(
+    x_rows: Array, w: Array, seg: Segments, *, k_static: int = STATIC_MIX_TOPK
+) -> Array:
+    """Static-hybrid segment matmul for beyond-VMEM weight tensors.
+
+    Relation row offsets are host-known at graph build
+    (``Segments.seg_ptrs_static``), so the largest relations each get a
+    dense matmul over a *statically sliced* row range — zero gather
+    traffic, the memory-roofline path — while the small-relation tail
+    runs through the tile-batched gather-einsum.  This is the TPU-native
+    answer to the reference's per-relation block scheduler at high
+    relation counts (mysgemm_KernelsBlockConfigurations.h:44-148): the
+    schedule is resolved at trace time instead of per kernel launch.
+
+    Fully differentiable as plain jnp: dW of a static piece is another
+    static matmul; dX is the slice transpose (one fused pad/concat).
+    Compile cost is ~15 s at R=535 (one-time per graph shape).
+
+    Matmul precision is the XLA default (bf16 passes, f32 accumulation) —
+    the same numerics as the XLA gather-einsum baseline; measured HIGHEST
+    costs +0.9 ms at wikikg2 scale (compute-bound) and nothing at mag
+    scale."""
+    S, H, K, O = w.shape
+    T = seg.tile
+    plan = _static_mix_plan(seg.seg_ptrs_static, k_static)
+    x3 = x_rows.ndim == 3
+    if x3 and x_rows.shape[1] == 1:
+        x_rows, x3 = x_rows[:, 0, :], False
+    pieces = []
+    for kind, lo, hi, r0 in plan:
+        xs = jax.lax.slice_in_dim(x_rows, lo, hi)
+        if kind == "mm":
+            eq = "bhk,hko->bho" if x3 else "bk,hko->bho"
+            y = jnp.einsum(eq, xs, w[r0],
+                           preferred_element_type=jnp.float32)
+        else:
+            ntc = (hi - lo) // T
+            wt = jnp.take(w, seg.tile_seg[lo // T : hi // T], axis=0)
+            if x3:
+                y = jnp.einsum(
+                    "tbhk,thko->tbho", xs.reshape(ntc, T, H, K), wt,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                y = jnp.einsum(
+                    "tbk,thko->tbho", xs.reshape(ntc, T, K), wt,
+                    preferred_element_type=jnp.float32,
+                )
+            y = y.reshape(hi - lo, H, O)
+        pieces.append(y.astype(x_rows.dtype))
+    return jnp.concatenate(pieces, axis=0)
+
+
+def ragged_segment_matmul(
+    x_rows: Array, w: Array, seg: Segments, *, accum_dtype=jnp.float32
+) -> Array:
+    """Grouped-GEMM segment matmul via ``jax.lax.ragged_dot`` — the
+    TPU-native (MoE-style) grouped matmul over relation-sorted rows.
+
+    Unlike the gather-einsum form this never materializes a per-tile
+    weight gather: XLA's ragged-dot lowering walks the group boundaries
+    directly, which is what makes it win at large relation counts
+    (wikikg2: R=535; see docs/SEGMM_STRATEGIES_r2.json).  Plays the role
+    of the reference's relation-scheduled SGEMM at high R
+    (hrt/include/DGLHackKernel/RGNN/mysgemm_KernelsBlockConfigurations.h).
+
+    x_rows: (n_rows, K) or (n_rows, H|1, K); w: (S, H, K, O).
+    Rows must be segment-sorted (they are, by construction); padded rows
+    are zero so group sizes may include them harmlessly."""
+    S, H, K, O = w.shape
+    gs = jnp.asarray(jnp.diff(jnp.asarray(seg.seg_ptrs)), jnp.int32)
+    x3 = x_rows.ndim == 3
+    Hx = x_rows.shape[1] if x3 else 1
+    outs = []
+    for h in range(H):
+        lhs = x_rows[:, h % Hx, :] if x3 else x_rows
+        outs.append(
+            jax.lax.ragged_dot(
+                lhs,
+                w[:, h],
+                gs,
+                preferred_element_type=accum_dtype,
+            )
+        )
+    return jnp.stack(outs, axis=1).astype(x_rows.dtype)
+
+
+def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
+    """Backend-dispatching segment matmul.
+
+    pallas backend (measured choices, docs/SEGMM_STRATEGIES_r2.json):
+
+    * relation offsets host-known (the normal case) -> the static-hybrid
+      plan (``segment_matmul_static_mix``): per-relation static-sliced
+      dense matmuls + gather-einsum tail.  Zero gather traffic; wins at
+      EVERY relation count measured — mag-like 0.32 ms vs 1.52 ms
+      (W-resident Pallas kernel) vs 1.27 ms (gather-einsum), wikikg2
+      (R=535) 2.58 ms vs 3.37 ms gather-einsum (round 1 silently fell
+      back to XLA there) vs 5.1 ms streamed-DMA Pallas;
+    * static offsets unavailable (SPMD shards whose per-shard relation
+      sizes differ, legacy pickles) -> the W-resident Pallas kernel for
+      small weights, gather-einsum beyond the VMEM budget.
+    """
     from . import get_backend
 
     if get_backend() == "pallas":
@@ -80,6 +209,8 @@ def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
             segment_matmul_rows_pallas,
         )
 
+        if seg.seg_ptrs_static is not None:
+            return segment_matmul_static_mix(x_rows, w, seg)
         if w.size * np.dtype(w.dtype).itemsize <= W_RESIDENT_BYTES:
             return segment_matmul_rows_pallas(x_rows, w, seg)
     return segment_matmul_rows(x_rows, w, seg)
@@ -296,6 +427,79 @@ def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
     if get_backend() == "pallas" and info.edge_sort_perm is not None:
         return _expand_compact_sorted(c, info, g)
     return take_rows(c, info.edge_map)
+
+
+@jax.custom_vjp
+def _compact_dst_inner_core(c2d, x, g):
+    return _cdi_fwd(c2d, x, g)[0]
+
+
+def _cdi_fwd(c2d, x, g):
+    EP = g.num_padded_edges
+    H, dk = x.shape[1], x.shape[2]
+    c_e = take_rows(c2d, g.compact_dst.edge_map).reshape(EP, H, dk)
+    x_e = gather_nodes(x, g.src).reshape(EP, H, dk)
+    score = jnp.sum(
+        c_e.astype(jnp.float32) * x_e.astype(jnp.float32), axis=-1
+    )
+    return score.astype(x.dtype), (c2d, x, g)
+
+
+def _cdi_bwd(res, ct):
+    from .common import scatter_sum_src
+    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+
+    c2d, x, g = res
+    infoD = g.compact_dst
+    EP = g.num_padded_edges
+    H, dk = x.shape[1], x.shape[2]
+    ct = ct.astype(jnp.float32)
+    x_e = gather_nodes(x, g.src).reshape(EP, H, dk).astype(jnp.float32)
+    # d_c: cotangents reduce into dst-compact rows over canonical
+    # (dst, rel) runs — contiguous by construction, no edge permute
+    payload_c = (ct[..., None] * x_e).reshape(EP, H * dk)
+    pad = -(H * dk) % 128
+    if pad:
+        payload_c = jnp.concatenate(
+            [payload_c, jnp.zeros((EP, pad), jnp.float32)], axis=1
+        )
+    n_runs = int(infoD.canon_ptr.shape[0]) - 1
+    red = seg_sum_sorted_pallas_raw(
+        payload_c,
+        infoD.canon_ptr,
+        n_runs,
+        EP - g.num_edges,
+        tables=infoD.canon_tables,
+    )
+    d_c = gather_nodes(red, infoD.canon_to_row)[:, : H * dk]
+    # d_x: src-sorted segment reduction (the framework's fast src scatter)
+    c_e = take_rows(c2d, infoD.edge_map).reshape(EP, H, dk)
+    payload_x = (ct[..., None] * c_e.astype(jnp.float32)).reshape(EP, H * dk)
+    d_x = scatter_sum_src(g, payload_x).reshape(g.src_space, H, dk)
+    return d_c.astype(c2d.dtype), d_x.astype(x.dtype), None
+
+
+_compact_dst_inner_core.defvjp(_cdi_fwd, _cdi_bwd)
+
+
+def compact_dst_inner(g: HeteroGraph, c_dst: Array, x_src: Array) -> Array:
+    """score_e[h] = <c_dst[compact_dst_row(e), h, :], x_src[src(e), h, :]> —
+    the single-sided compact SDDMM (HGT attention score with the
+    attn·q product materialized once per unique (rel, dst)).
+
+    c_dst (UCd, H, dk) destination-compact rows; x_src (src_space, H, dk)
+    per-node.  Per-edge expansions exist only inside this op; the backward
+    reduces d_c over canonical (dst, rel) runs with no edge permute.
+    Reference: compact attention-score path (hrt/python/HGT/models.py:179-210)
+    + inner product kernels (RGNN/InnerProduct.cu.h), compact resolution
+    kernel_enums.h:100-119."""
+    from . import get_backend
+
+    UC, H, dk = c_dst.shape
+    if get_backend() == "pallas" and g.compact_dst.canon_ptr is not None:
+        return _compact_dst_inner_core(c_dst.reshape(UC, H * dk), x_src, g)
+    c_e = expand_compact(g, c_dst, side="dst")
+    return jnp.sum(c_e * gather_nodes(x_src, g.src), axis=-1)
 
 
 @jax.custom_vjp

@@ -299,6 +299,66 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
     return op
 
 
+@jax.custom_vjp
+def _compact_weighted_agg_op(feat_c2d, w_e, g):
+    return _cwa_fwd(feat_c2d, w_e, g)[0]
+
+
+def _cwa_fwd(feat_c2d, w_e, g):
+    from .seg_reduce import seg_sum_dst_pallas_raw
+
+    infoS = g.compact_src
+    EP = g.num_padded_edges
+    C = feat_c2d.shape[1]
+    feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
+    vals = feat_e * w_e.astype(jnp.float32)[:, None]
+    pad = -C % 128
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((EP, pad), jnp.float32)], axis=1
+        )
+    agg = seg_sum_dst_pallas_raw(g, vals)  # padding edges dropped in-kernel
+    return agg[:, :C].astype(feat_c2d.dtype), (feat_c2d, w_e, g)
+
+
+def _cwa_bwd(res, ct):
+    feat_c2d, w_e, g = res
+    infoS = g.compact_src
+    EP = g.num_padded_edges
+    C = feat_c2d.shape[1]
+    ct = ct.astype(jnp.float32)
+    ct_e = gather_dst(g, ct)  # (EP, C); zero at sentinel dst
+    payload = ct_e * w_e.astype(jnp.float32)[:, None]
+    pad = -C % 128
+    if pad:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((EP, pad), jnp.float32)], axis=1
+        )
+    red = _sorted_compact_reduce(infoS, payload, EP - g.num_edges)
+    d_feat_c = red[:, :C].astype(feat_c2d.dtype)
+    feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
+    d_w = jnp.sum(feat_e * ct_e, axis=-1).astype(w_e.dtype)
+    return d_feat_c, d_w, None
+
+
+_compact_weighted_agg_op.defvjp(_cwa_fwd, _cwa_bwd)
+
+
+def compact_weighted_agg(g: HeteroGraph, feat_c: Array, w_e: Array) -> Array:
+    """Single-sided compact weighted aggregation:
+
+        out[v] = sum_{e: dst(e)=v} w_e * feat_c[compact_src_row(e)]
+
+    feat_c (UCs, C) source-compact rows, w_e (EP,) per-edge scalar weight
+    (e.g. the RGCN norm) -> (N, C).  Per-edge features exist only as the
+    fused gather feeding the one-hot reduce kernel; the backward reduces
+    cotangents straight into compact rows over ``edge_sort_perm`` — the TPU
+    realization of the reference's ``rgcn_node_mean_aggregation_compact_
+    as_of_node_separate_coo_single_sided``
+    (hrt/python/backend/rgcn_layers_and_funcs.py:782)."""
+    return _compact_weighted_agg_op(feat_c, w_e, g)
+
+
 def fused_softmax_agg_compact(
     g: HeteroGraph,
     feat_c: Array,

@@ -75,12 +75,14 @@ def _fold_x(x_rows: Array) -> Tuple[Array, bool, int]:
 W_RESIDENT_BYTES = 4 * 1024 * 1024
 
 
-def _choose_block_rows(tile: int, n_rows: int, target: int = 1024) -> int:
+def _choose_block_rows(
+    tile: int, n_rows: int, target: int = 1024, max_g: int = 8
+) -> int:
     """Super-block size: multiple of ``tile`` near ``target`` rows, to
     amortize per-grid-step overhead over many MXU calls.  The sub-tile loop
-    is unrolled in the kernel, so cap it at 8 iterations."""
+    is unrolled in the kernel, so cap the iteration count."""
     g = max(min(target, n_rows) // tile, 1)
-    return tile * min(g, 8)
+    return tile * min(g, max_g)
 
 
 # ------------------------------------------------- forward (W-resident)
@@ -158,25 +160,101 @@ def _fwd_resident(x_rows, w, seg, interpret):
     return out.reshape(seg.n_rows, H, O)
 
 
-# ---------------------------------------------------------------- forward
+# --------------------------------------------- forward (streamed, large R)
+#
+# Weights beyond the VMEM-residency budget (wikikg2: R=535, K=O=128 -> 34MB)
+# stay in HBM; the kernel DMAs one relation's weight block into a VMEM
+# scratch buffer only on relation-run boundaries (tiles of one relation are
+# consecutive, so that's ~R copies over the whole launch), and super-blocks
+# G row-tiles per grid step to amortize per-step overhead — round 1's
+# one-tile-per-step streamed variant lost ~2x to XLA from exactly that
+# overhead (docs/SEGMM_STRATEGIES_r2.json).  This is the TPU analogue of
+# the reference's scheduled kernel at high relation counts
+# (hrt/include/DGLHackKernel/RGNN/mysgemm_KernelsBlockConfigurations.h).
 
 
-def _make_fwd_kernel(H: int, Hx: int, K: int, O: int, prec=None):
-    def kernel(tile_seg_ref, x_ref, w_ref, o_ref):
-        # x_ref: (T, Hx*K); w_ref: (1, H, K, O); o_ref: (T, H*O)
-        for h in range(H):
-            xh = x_ref[:, (h % Hx) * K : (h % Hx) * K + K] if Hx > 1 else (
-                x_ref[:, :K]
-            )
-            o_ref[:, h * O : (h + 1) * O] = jax.lax.dot_general(
-                xh,
-                w_ref[0, h],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            ).astype(o_ref.dtype)
+def _make_fwd_stream_kernel(H, Hx, K, O, T, G, nt, prec):
+    def kernel(ts_ref, wcopy_ref, x_ref, w_hbm, o_ref, w_buf, sem):
+        i = pl.program_id(0)
+        for j in range(G):
+            t = i * G + j
+            tc = jnp.minimum(t, nt - 1)
+            rel = ts_ref[tc]
+
+            @pl.when(jnp.logical_and(t < nt, wcopy_ref[tc] == 1))
+            def _():
+                cp = pltpu.make_async_copy(w_hbm.at[rel], w_buf, sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(t < nt)
+            def _():
+                rows = slice(j * T, (j + 1) * T)
+                if Hx == 1:
+                    o_ref[rows, :] = jax.lax.dot_general(
+                        x_ref[rows, :K],
+                        w_buf[...],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    ).astype(o_ref.dtype)
+                else:
+                    for h in range(H):
+                        o_ref[rows, h * O : (h + 1) * O] = jax.lax.dot_general(
+                            x_ref[rows, h * K : h * K + K],
+                            w_buf[h],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        ).astype(o_ref.dtype)
 
     return kernel
+
+
+def _fwd_streamed(x_rows, w, seg, interpret):
+    S, H, K, O = w.shape
+    T, nt = seg.tile, seg.n_tiles
+    xf, x3, Hx = _fold_x(x_rows)
+    BT = _choose_block_rows(T, seg.n_rows, target=2048, max_g=16)
+    G = BT // T
+    ts = jnp.asarray(seg.tile_seg)
+    wcopy = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (ts[1:] != ts[:-1]).astype(jnp.int32)]
+    )
+    if Hx == 1:
+        # head-folded: one (K, H*O) block per relation, one MXU call/tile
+        w_in = jnp.transpose(w, (0, 2, 1, 3)).reshape(S, K, H * O)
+        scratch = pltpu.VMEM((K, H * O), w_in.dtype)
+    else:
+        w_in = w
+        scratch = pltpu.VMEM((H, K, O), w_in.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(pl.cdiv(nt, G),),
+        in_specs=[
+            pl.BlockSpec((BT, Hx * K), lambda i, ts, wc: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BT, H * O), lambda i, ts, wc: (i, 0)),
+        scratch_shapes=[scratch, pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        _make_fwd_stream_kernel(H, Hx, K, O, T, G, nt,
+                                _dot_precision(x_rows.dtype)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seg.n_rows * H * K * O,
+            bytes_accessed=(x_rows.size + w.size + seg.n_rows * H * O)
+            * _itemsize(x_rows),
+            transcendentals=0,
+        ),
+    )(ts, wcopy, xf, w_in)
+    return out.reshape(seg.n_rows, H, O)
+
+
+# ---------------------------------------------------------------- forward
 
 
 def segment_matmul_rows_fwd(
@@ -198,31 +276,7 @@ def segment_matmul_rows_fwd(
     assert x_rows.shape[0] == seg.n_rows
     if w.size * _itemsize(w) <= W_RESIDENT_BYTES:
         return _fwd_resident(x_rows, w, seg, interpret)
-    xf, x3, Hx = _fold_x(x_rows)
-    assert Hx in (1, H)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((T, Hx * K), lambda i, ts: (i, 0)),
-            pl.BlockSpec((1, H, K, O), lambda i, ts: (ts[i], 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((T, H * O), lambda i, ts: (i, 0)),
-    )
-    out = pl.pallas_call(
-        _make_fwd_kernel(H, Hx, K, O, prec=_dot_precision(x_rows.dtype)),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * seg.n_rows * H * K * O,
-            bytes_accessed=(x_rows.size + w.size + seg.n_rows * H * O)
-            * _itemsize(x_rows),
-            transcendentals=0,
-        ),
-    )(jnp.asarray(seg.tile_seg), xf, w)
-    return out.reshape(seg.n_rows, H, O)
+    return _fwd_streamed(x_rows, w, seg, interpret)
 
 
 # ------------------------------------------------- dX / dW (W-resident)
@@ -373,31 +427,43 @@ def _dw_resident(x_rows, ct_rows, w_shape, seg, interpret):
 # ---------------------------------------------------------------- dX
 
 
-def _make_dx_kernel(H: int, Hx: int, K: int, O: int, prec=None):
-    reduce_heads = Hx == 1 and H > 1
+def _make_dx_stream_kernel(H, Hx, K, O, T, G, nt, prec):
+    folded = Hx == 1  # (H*O, K) block, one dot reduces over heads
 
-    def kernel(tile_seg_ref, ct_ref, wt_ref, o_ref):
-        # ct_ref: (T, H*O); wt_ref: (1, H, O, K); o_ref: (T, Hx*K)
-        if reduce_heads:
-            acc = jnp.zeros((ct_ref.shape[0], K), jnp.float32)
-            for h in range(H):
-                acc = acc + jax.lax.dot_general(
-                    ct_ref[:, h * O : (h + 1) * O],
-                    wt_ref[0, h],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
-            o_ref[...] = acc.astype(o_ref.dtype)
-        else:
-            for h in range(H):
-                o_ref[:, h * K : (h + 1) * K] = jax.lax.dot_general(
-                    ct_ref[:, h * O : (h + 1) * O],
-                    wt_ref[0, h],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                ).astype(o_ref.dtype)
+    def kernel(ts_ref, wcopy_ref, ct_ref, wt_hbm, o_ref, w_buf, sem):
+        i = pl.program_id(0)
+        for j in range(G):
+            t = i * G + j
+            tc = jnp.minimum(t, nt - 1)
+            rel = ts_ref[tc]
+
+            @pl.when(jnp.logical_and(t < nt, wcopy_ref[tc] == 1))
+            def _():
+                cp = pltpu.make_async_copy(wt_hbm.at[rel], w_buf, sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(t < nt)
+            def _():
+                rows = slice(j * T, (j + 1) * T)
+                if folded:
+                    # head-folded (H*O, K) block: one dot sums over heads
+                    o_ref[rows, :] = jax.lax.dot_general(
+                        ct_ref[rows, :],
+                        w_buf[...],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    ).astype(o_ref.dtype)
+                else:
+                    for h in range(H):
+                        o_ref[rows, h * K : (h + 1) * K] = jax.lax.dot_general(
+                            ct_ref[rows, h * O : (h + 1) * O],
+                            w_buf[h],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        ).astype(o_ref.dtype)
 
     return kernel
 
@@ -422,27 +488,40 @@ def segment_matmul_rows_dx(
     T, nt = seg.tile, seg.n_tiles
     if w.size * _itemsize(w) <= W_RESIDENT_BYTES:
         return _dx_resident(ct_rows, w, seg, x3, x_heads, interpret)
-    # same host-side weight transpose as the reference backward
-    # (hrt/python/backend/rgnn_layers_and_funcs.py:64)
-    wt = jnp.swapaxes(w, 2, 3)  # (S, H, O, K)
+    # streamed large-R path: super-blocked grid + per-relation-run weight
+    # DMA, mirroring _fwd_streamed.  Host-side weight transpose like the
+    # reference backward (hrt/python/backend/rgnn_layers_and_funcs.py:64).
     Hx = x_heads if x3 else 1
     out_cols = Hx * K if Hx > 1 else K
-
+    BT = _choose_block_rows(T, seg.n_rows, target=2048, max_g=16)
+    G = BT // T
+    ts = jnp.asarray(seg.tile_seg)
+    wcopy = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (ts[1:] != ts[:-1]).astype(jnp.int32)]
+    )
+    if Hx == 1:
+        wt_in = jnp.transpose(w, (0, 1, 3, 2)).reshape(S, H * O, K)
+        scratch = pltpu.VMEM((H * O, K), wt_in.dtype)
+    else:
+        wt_in = jnp.swapaxes(w, 2, 3)  # (S, H, O, K)
+        scratch = pltpu.VMEM((H, O, K), wt_in.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nt,),
+        num_scalar_prefetch=2,
+        grid=(pl.cdiv(nt, G),),
         in_specs=[
-            pl.BlockSpec((T, H * O), lambda i, ts: (i, 0)),
-            pl.BlockSpec((1, H, O, K), lambda i, ts: (ts[i], 0, 0, 0)),
+            pl.BlockSpec((BT, H * O), lambda i, ts, wc: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((T, out_cols), lambda i, ts: (i, 0)),
+        out_specs=pl.BlockSpec((BT, out_cols), lambda i, ts, wc: (i, 0)),
+        scratch_shapes=[scratch, pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
-        _make_dx_kernel(H, Hx, K, O, prec=_dot_precision(ct_rows.dtype)),
+        _make_dx_stream_kernel(H, Hx, K, O, T, G, nt,
+                               _dot_precision(ct_rows.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
         interpret=interpret,
-    )(jnp.asarray(seg.tile_seg), ct_rows.reshape(seg.n_rows, H * O), wt)
+    )(ts, wcopy, ct_rows.reshape(seg.n_rows, H * O), wt_in)
     if x3:
         return out.reshape(seg.n_rows, Hx, K)
     return out

@@ -306,6 +306,29 @@ def rgcn_aggregate(g: HeteroGraph, feat_e: Array, norm_e: Array) -> Array:
     return scatter_sum_dst(g, feat_e * norm_e.reshape(norm_e.shape + extra))
 
 
+def rgcn_aggregate_compact(
+    g: HeteroGraph, feat_c: Array, norm_e: Array
+) -> Array:
+    """ret[dst] = sum_e norm_e * feat_c[compact_src_row(e)] — single-sided
+    compact mean aggregation: compact rows are aggregated directly, never
+    expanded to a standalone per-edge tensor.
+
+    feat_c: (UCs, C) source-compact rows.  Reference:
+    ``rgcn_node_mean_aggregation_compact_as_of_node_separate_coo_single_
+    sided`` (hrt/python/backend/rgcn_layers_and_funcs.py:782-800) with
+    direct-index compact resolution (kernel_enums.h:100-119)."""
+    from . import get_backend
+
+    if get_backend() == "pallas" and g.compact_src.edge_sort_perm is not None:
+        from .pallas.fused_agg import compact_weighted_agg
+
+        return compact_weighted_agg(g, feat_c, norm_e)
+    from .linear import expand_compact
+
+    feat_e = expand_compact(g, feat_c[:, None, :], side="src")[:, 0, :]
+    return rgcn_aggregate(g, g.edge_mask(feat_e), norm_e)
+
+
 def rgcn_layer1(
     g: HeteroGraph, x: Array, w: Array, norm_e: Array
 ) -> Array:

@@ -37,19 +37,41 @@ from ..graph.structures import HeteroGraph
 @dataclass(frozen=True)
 class PartitionInfo:
     n_parts: int
-    orig_per_part: int  # original contiguous node-range size per part
+    orig_per_part: int  # uniform node-range size per part (node-balanced)
     nodes_per_part: int  # padded (tile-aligned) per-shard node count
     num_global_nodes: int  # original N (pre-relabel)
+    # non-uniform contiguous dst ranges (edge-balanced partitioning):
+    # bounds[p] .. bounds[p+1] is part p's original node range.  None =
+    # uniform ranges of orig_per_part.
+    bounds: Optional[Tuple[int, ...]] = None
 
     @property
     def num_padded_global_nodes(self) -> int:
         return self.n_parts * self.nodes_per_part
 
+    def part_of(self, node_ids: np.ndarray) -> np.ndarray:
+        node_ids = np.asarray(node_ids)
+        if self.bounds is None:
+            return node_ids // self.orig_per_part
+        return (
+            np.searchsorted(np.asarray(self.bounds), node_ids, side="right")
+            - 1
+        )
+
+    def part_range(self, p: int) -> Tuple[int, int]:
+        if self.bounds is None:
+            lo = p * self.orig_per_part
+            return lo, min(lo + self.orig_per_part, self.num_global_nodes)
+        return self.bounds[p], self.bounds[p + 1]
+
     def relabel(self, node_ids: np.ndarray) -> np.ndarray:
         """Original node id -> padded-global id."""
         node_ids = np.asarray(node_ids)
-        part = node_ids // self.orig_per_part
-        local = node_ids % self.orig_per_part
+        part = self.part_of(node_ids)
+        if self.bounds is None:
+            local = node_ids % self.orig_per_part
+        else:
+            local = node_ids - np.asarray(self.bounds)[part]
         return part * self.nodes_per_part + local
 
     def pad_node_data(self, data: np.ndarray, fill=0) -> np.ndarray:
@@ -72,6 +94,7 @@ jax.tree_util.register_dataclass(
         "orig_per_part",
         "nodes_per_part",
         "num_global_nodes",
+        "bounds",
     ],
 )
 
@@ -85,6 +108,8 @@ def _force_size_keys(g: HeteroGraph) -> dict:
     if g.compact_src is not None:
         d["compact_src_rows"] = g.compact_src.seg.n_rows
         d["compact_dst_rows"] = g.compact_dst.seg.n_rows
+        d["compact_src_pairs"] = g.compact_src.seg.n_src
+        d["compact_dst_pairs"] = g.compact_dst.seg.n_src
     return d
 
 
@@ -99,26 +124,50 @@ def partition_by_dst(
     tile: int = 128,
     build_compact: bool = False,
     ntype_offsets=None,
+    balance: str = "nodes",
 ) -> Tuple[HeteroGraph, PartitionInfo]:
     """Split edges into ``n_parts`` contiguous destination ranges; return
     identically-shaped per-part HeteroGraphs **stacked** on a leading axis
     (shard with ``jax.sharding.PartitionSpec('dp')``) plus the relabeling.
 
-    Node-balanced; edge-count skew is absorbed by sentinel padding so SPMD
-    shapes stay static."""
+    ``balance='nodes'``: uniform dst ranges (edge skew absorbed by sentinel
+    padding).  ``balance='edges'``: range boundaries chosen on the
+    cumulative in-degree so each shard owns ~E/P edges — the degree-aware
+    split skewed graphs need (the distributed analogue of the reference's
+    infidel degree sort, hrt/python/utils/coo_sorters.py:173).  Shard
+    shapes are padded to the across-shard max either way (SPMD)."""
     src = np.asarray(src).astype(np.int64).ravel()
     dst = np.asarray(dst).astype(np.int64).ravel()
     rel = np.asarray(rel).astype(np.int64).ravel()
     orig_per = -(-num_nodes // n_parts)
-    per = round_up(orig_per, max(tile, 128))
+    if balance == "edges":
+        indeg = np.bincount(dst, minlength=num_nodes)
+        cum = np.concatenate([[0], np.cumsum(indeg)])
+        targets = np.arange(1, n_parts) * (len(src) / n_parts)
+        cuts = np.searchsorted(cum, targets, side="left")
+        bounds = np.concatenate([[0], cuts, [num_nodes]])
+        # enforce strictly increasing, non-empty ranges
+        for p in range(1, n_parts + 1):
+            bounds[p] = max(bounds[p], bounds[p - 1] + 1)
+        bounds = np.minimum(bounds, num_nodes)
+        bounds[-1] = num_nodes
+        assert (np.diff(bounds) > 0).all(), "too few nodes for n_parts"
+        bounds = tuple(int(b) for b in bounds)
+        widest = max(b - a for a, b in zip(bounds[:-1], bounds[1:]))
+        per = round_up(widest, max(tile, 128))
+    else:
+        assert balance == "nodes", balance
+        bounds = None
+        per = round_up(orig_per, max(tile, 128))
     info = PartitionInfo(
         n_parts=n_parts,
         orig_per_part=orig_per,
         nodes_per_part=per,
         num_global_nodes=num_nodes,
+        bounds=bounds,
     )
     n_glob = info.num_padded_global_nodes
-    part_of_dst = dst // orig_per
+    part_of_dst = info.part_of(dst)
 
     # per-node types in original ids (contiguous type ranges globally; a
     # shard's dst range may span type boundaries, so shards carry an
@@ -135,8 +184,7 @@ def partition_by_dst(
     def _part_ntype(p: int):
         if node_ntype_glob is None:
             return None
-        lo = p * orig_per
-        hi = min(lo + orig_per, num_nodes)
+        lo, hi = info.part_range(p)
         out = np.zeros(per, dtype=np.int64)
         out[: hi - lo] = node_ntype_glob[lo:hi]
         return out
@@ -145,7 +193,7 @@ def partition_by_dst(
         m = part_of_dst == p
         return build_heterograph(
             info.relabel(src[m]),
-            dst[m] - p * orig_per,
+            dst[m] - info.part_range(p)[0],
             rel[m],
             num_nodes=per,
             num_rels=num_rels,
@@ -160,16 +208,29 @@ def partition_by_dst(
         )
 
     # three sizing passes: forcing the padded edge total changes the
-    # relation-0 segment (padding edges live there), so edge_rel row counts
-    # are only final once EP is fixed
+    # relation-0 segment (padding edges live there) and forcing the
+    # compact PAIR counts grows the last compact segment, so the derived
+    # row counts are only final once those are fixed
     parts = [build_part(p, None) for p in range(n_parts)]
-    force = {
-        k: max(_force_size_keys(g)[k] for g in parts)
-        for k in _force_size_keys(parts[0])
-    }
-    force.pop("edge_rel_rows")
+
+    def _maxes(parts, keys):
+        return {
+            k: max(_force_size_keys(g)[k] for g in parts) for k in keys
+        }
+
+    keys0 = set(_force_size_keys(parts[0]))
+    force = _maxes(
+        parts,
+        keys0 - {"edge_rel_rows", "compact_src_rows", "compact_dst_rows"},
+    )
     parts = [build_part(p, force) for p in range(n_parts)]
-    force["edge_rel_rows"] = max(g.edge_rel_seg.n_rows for g in parts)
+    force.update(
+        _maxes(
+            parts,
+            keys0 & {"edge_rel_rows", "compact_src_rows",
+                     "compact_dst_rows"},
+        )
+    )
     parts = [build_part(p, force) for p in range(n_parts)]
     # num_edges is static; unify to the max (extra slots are sentinel edges)
     import dataclasses
@@ -180,10 +241,52 @@ def partition_by_dst(
     return stacked, info
 
 
+def _drop_unshared_static(parts):
+    """Null out ``Segments.seg_ptrs_static`` wherever shards disagree.
+
+    SPMD traces ONE program for all shards, so trace-time-constant
+    relation offsets are only usable when identical across shards (per-
+    shard relation sizes generally differ; only totals are forced equal).
+    Keeping a single shard's offsets would silently mis-slice the rest."""
+    import dataclasses
+
+    def fix_seg(segs):
+        if segs[0] is None or all(
+            s.seg_ptrs_static == segs[0].seg_ptrs_static for s in segs
+        ):
+            return segs
+        return [
+            dataclasses.replace(s, seg_ptrs_static=None) for s in segs
+        ]
+
+    def fix_ci(cis):
+        if cis[0] is None:
+            return cis
+        segs = fix_seg([c.seg for c in cis])
+        return [
+            dataclasses.replace(c, seg=s) for c, s in zip(cis, segs)
+        ]
+
+    ers = fix_seg([g.edge_rel_seg for g in parts])
+    nts = fix_seg([g.ntype_seg for g in parts])
+    css = fix_ci([g.compact_src for g in parts])
+    cds = fix_ci([g.compact_dst for g in parts])
+    return [
+        dataclasses.replace(
+            g, edge_rel_seg=e, ntype_seg=n, compact_src=cs, compact_dst=cd
+        )
+        for g, e, n, cs, cd in zip(parts, ers, nts, css, cds)
+    ]
+
+
 def _stack_graphs(graphs) -> HeteroGraph:
     """Stack identically-shaped HeteroGraphs on a new leading axis."""
-    leaves = [jax.tree.leaves(g) for g in graphs]
+    graphs = _drop_unshared_static(graphs)
     treedef = jax.tree.structure(graphs[0])
+    assert all(
+        jax.tree.structure(g) == treedef for g in graphs[1:]
+    ), "shard treedefs diverge (static metadata mismatch)"
+    leaves = [jax.tree.leaves(g) for g in graphs]
     stacked = [np.stack(ls, axis=0) for ls in zip(*leaves)]
     return jax.tree.unflatten(treedef, stacked)
 

@@ -32,7 +32,10 @@ class TrainConfig:
     compact: bool = False  # --compact_as_of_node_flag
     multiply_first: bool = False  # --multiply_among_weights_first_flag
     # numerics / backend
-    dtype: str = "float32"  # float32 | bfloat16
+    dtype: str = "float32"  # float32 | bfloat16 (mixed: f32 master params)
+    # loss scaling for bf16 ("none" | "dynamic" | a float); bf16 keeps
+    # f32's exponent range so "none" is the sound default on TPU
+    loss_scale: str = "none"
     backend: str = "xla"  # xla | pallas
     # edge-softmax overflow protection: "clip" (logit clamp, no extra
     # passes — default), "max" (exact max-subtracted), "raw" (reference
@@ -80,6 +83,8 @@ def add_args(parser: argparse.ArgumentParser) -> None:
         dest="multiply_first",
     )
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--loss_scale", type=str, default="none",
+                   help="bf16 loss scaling: none | dynamic | <float>")
     p.add_argument("--backend", type=str, default="xla")
     p.add_argument("--stable_softmax", type=str, default="clip",
                    choices=["clip", "max", "raw"],

@@ -42,7 +42,11 @@ def _device_mem_mb() -> Optional[float]:
 def build_model(cfg: TrainConfig, data: Dataset):
     g = data.graph
     ncls = data.num_classes
-    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    # Mixed precision: parameters are ALWAYS stored f32 (master weights);
+    # bfloat16 mode casts them to bf16 inside the loss (see ``train``).
+    # Round-1 stored params in bf16 directly, which also degraded the Adam
+    # state; the master-weight form is the standard TPU recipe.
+    dt = jnp.float32
     if cfg.model.upper() == "RGAT":
         return RGATModel(
             in_feat=cfg.n_infeat,
@@ -116,9 +120,8 @@ def train(
     k_embed, k_model, k_drop = jax.random.split(key, 3)
 
     model = build_model(cfg, data)
-    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     embed = NodeEmbed(num_nodes=g.num_nodes, embed_dim=cfg.n_infeat,
-                      param_dtype=dt)
+                      param_dtype=jnp.float32)
     e_params = embed.init(k_embed)
     x0 = embed.apply(e_params)
     m_params = model.init(k_model, g, x0)
@@ -131,15 +134,26 @@ def train(
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 
+    from .scaling import all_finite, cast_floating, make_loss_scale
+
+    mixed = cfg.dtype == "bfloat16"
+    scaler, dynamic = make_loss_scale(cfg.loss_scale if mixed else "none")
+    scale_state = scaler.init_state()
+
     def forward(params, dropout_key):
-        x = embed.apply(params["embed"])
+        # bf16 mode: cast master params + embeddings to bf16 at use — the
+        # cast's transpose accumulates gradients back into f32 leaves
+        p = cast_floating(params, jnp.bfloat16) if mixed else params
+        x = embed.apply(p["embed"])
         return model.apply(
-            params["model"], g, x, deterministic=False,
+            p["model"], g, x, deterministic=False,
             rngs={"dropout": dropout_key},
         )
 
     def loss_fn(params, dropout_key):
-        logits = forward(params, dropout_key)
+        # the softmax/NLL head always runs f32 (bf16 log-probs lose the
+        # small-logit tail)
+        logits = forward(params, dropout_key).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take(logp, train_idx, axis=0)
         ly = jnp.take(labels, train_idx, axis=0)
@@ -149,11 +163,28 @@ def train(
     loss_jit = jax.jit(loss_fn)
 
     @jax.jit
-    def train_step(params, opt_state, dropout_key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, dropout_key)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def train_step(params, opt_state, scale_state, dropout_key):
+        def scaled_loss(p):
+            return scaler.scale(loss_fn(p, dropout_key), scale_state)
+
+        sloss, grads = jax.value_and_grad(scaled_loss)(params)
+        grads = scaler.unscale(grads, scale_state)
+        loss = sloss / scale_state.scale
+        if dynamic:
+            finite = all_finite(grads)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # skip the step (keep params/opt) when any grad is non-finite
+            pick = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            params = pick(new_params, params)
+            opt_state = pick(new_opt, opt_state)
+            scale_state = scaler.update(scale_state, finite)
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, scale_state, loss
 
     @jax.jit
     def accuracy(params, idx):
@@ -172,7 +203,9 @@ def train(
     force(fwd_jit(params, k_drop))
     for i in range(warmup):
         k_drop, k = jax.random.split(k_drop)
-        params, opt_state, loss = train_step(params, opt_state, k)
+        params, opt_state, scale_state, loss = train_step(
+            params, opt_state, scale_state, k
+        )
     force(loss if warmup else params)
     mem_peak = _device_mem_mb()
 
@@ -195,7 +228,9 @@ def train(
         t_fwd = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        params, opt_state, loss = train_step(params, opt_state, k2)
+        params, opt_state, scale_state, loss = train_step(
+            params, opt_state, scale_state, k2
+        )
         force(loss)
         t_total = time.perf_counter() - t0
 
@@ -240,6 +275,7 @@ def train(
             "compact": cfg.compact,
             "multiply_first": cfg.multiply_first,
             "dtype": cfg.dtype,
+            "loss_scale": cfg.loss_scale,
             "backend": cfg.backend,
         },
         "synthetic_data": data.meta.get("synthetic", False),

@@ -89,6 +89,62 @@ def test_rgat_compact_layer_backend_parity(pallas_backend):
         _grads_close(layer, params, g, x)
 
 
+def test_rgcn_compact_backend_parity(pallas_backend):
+    """RGCN compact path: single-sided compact_weighted_agg (pallas) vs
+    expand-then-aggregate (xla)."""
+    g = _toy(seed=5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (g.num_nodes, 10))
+    model = RGCNModel(num_nodes=g.num_nodes, hidden=8, num_classes=3,
+                      num_rels=g.num_rels, featureless=False, in_feat=10,
+                      compact=True)
+    params = model.init(jax.random.PRNGKey(0), g, x)
+    _grads_close(model, params, g, x)
+
+
+def test_hgt_compact_layer_backend_parity(pallas_backend):
+    """HGT compact path: single-sided compact_dst_inner score (pallas) vs
+    expand-then-inner-product (xla)."""
+    g = _toy(seed=6)
+    x = jax.random.normal(jax.random.PRNGKey(1), (g.num_nodes, 8))
+    layer = HGTLayer(in_dim=8, out_dim=8, num_ntypes=1, num_rels=g.num_rels,
+                     num_heads=2, dropout=0.0, compact=True)
+    params = layer.init(jax.random.PRNGKey(0), g, x)
+    _grads_close(layer, params, g, x)
+
+
+def test_compact_single_sided_op_parity(pallas_backend):
+    """Op-level grads for the two single-sided compact ops added in round 2:
+    rgcn_aggregate_compact (weighted mean aggregation from compact rows)
+    and compact_dst_inner (compact SDDMM)."""
+    g = _toy(seed=7)
+    UCs = g.compact_src.seg.n_rows
+    UCd = g.compact_dst.seg.n_rows
+    H, dk, C = 2, 6, 10
+    feat_c = jax.random.normal(jax.random.PRNGKey(2), (UCs, C))
+    norm_e = ops.rgcn_norm(g)
+    c_dst = jax.random.normal(jax.random.PRNGKey(3), (UCd, H, dk))
+    x_src = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, H, dk))
+
+    def run_agg(fc, ne):
+        return jnp.sum(ops.rgcn_aggregate_compact(g, fc, ne) ** 2)
+
+    def run_inner(c, x):
+        s = ops.compact_dst_inner(g, c, x)
+        return jnp.sum(g.edge_mask(s) ** 2)
+
+    for fn, args in ((run_agg, (feat_c, norm_e)), (run_inner, (c_dst, x_src))):
+        ops.set_backend("xla")
+        vx = fn(*args)
+        gx = jax.grad(fn, argnums=(0, 1))(*args)
+        ops.set_backend("pallas")
+        vp = fn(*args)
+        gp = jax.grad(fn, argnums=(0, 1))(*args)
+        np.testing.assert_allclose(float(vx), float(vp), rtol=1e-4)
+        for a, b in zip(gx, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=2e-4)
+
+
 def test_fused_compact_op_parity(pallas_backend):
     """Op-level: relational_fused_gat_compact pallas vs xla, grads wrt all
     three compact inputs, under both clip and raw softmax modes."""

@@ -107,3 +107,38 @@ def test_backend_dispatch_end_to_end(rng):
         ops.set_backend("xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_static_mix_matches_xla(rng):
+    """Static-hybrid large-R path (per-relation static slices + gather
+    tail): forward and grads vs the gather-einsum, 2-D and 3-D inputs,
+    including zero-row relations inside and outside the static set."""
+    from het_tpu.ops.linear import segment_matmul_static_mix
+
+    R = 17
+    seg_of_row = np.sort(rng.integers(0, R, 900))
+    seg_of_row = seg_of_row[seg_of_row != 5]  # a zero-row relation
+    seg = build_segments(seg_of_row, R, 8)
+    assert seg.seg_ptrs_static is not None
+    w = jnp.asarray(rng.standard_normal((R, 2, 12, 8), dtype=np.float32))
+    for hx in (0, 1, 2):
+        shape = (seg.n_rows, 12) if hx == 0 else (seg.n_rows, hx, 12)
+        x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+        def loss_mix(xx, ww):
+            return jnp.sum(
+                segment_matmul_static_mix(xx, ww, seg, k_static=4) ** 2
+            )
+
+        def loss_ref(xx, ww):
+            return jnp.sum(segment_matmul_rows(xx, ww, seg) ** 2)
+
+        got = segment_matmul_static_mix(x, w, seg, k_static=4)
+        want = segment_matmul_rows(x, w, seg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        gm = jax.grad(loss_mix, argnums=(0, 1))(x, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        for a, b in zip(gm, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)

@@ -187,3 +187,94 @@ def test_dp_hgt_matches_single_chip():
         np.asarray(out_dp)[relabeled], np.asarray(out_1),
         rtol=2e-3, atol=1e-4,
     )
+
+
+def test_dp_compact_on_shards():
+    """Compact flags on a partitioned graph: per-shard compact tables are
+    built with forced (across-shard max) sizes; a compact RGAT layer under
+    shard_map must match the single-chip compact layer, on both backends,
+    including gradients."""
+    from het_tpu import ops
+
+    src, dst, rel, n, r = _coo(seed=7, n=128, e=500)
+    n_parts = 4
+    mesh = make_mesh(n_parts)
+    sg, info = partition_by_dst(
+        src, dst, rel, n, r, n_parts, tile=8, build_compact=True
+    )
+    assert jax.tree.leaves(sg.compact_src.seg)[0].shape[0] == n_parts
+    sg = shard_stacked(sg, mesh)
+    x = np.random.default_rng(0).standard_normal((n, 8), dtype=np.float32)
+    x_pad = jnp.asarray(info.pad_node_data(x))
+    layer = RGATLayer(in_feat=8, out_feat=4, num_rels=r, num_heads=2,
+                      dropout=0.0, compact=True)
+    dp = DPGNN([layer], mesh)
+    params = dp.init(jax.random.PRNGKey(0), sg, x_pad)
+
+    def loss(p):
+        return jnp.sum(dp.apply(p, sg, x_pad) ** 2)
+
+    g1 = build_heterograph(src, dst, rel, n, r, tile=8, build_compact=True)
+    out_1 = layer.apply(params[0], g1, jnp.asarray(x))
+    relabeled = info.relabel(np.arange(n))
+    for backend in ("xla", "pallas"):
+        ops.set_backend(backend)
+        try:
+            out_dp = jax.jit(lambda p, xx: dp.apply(p, sg, xx))(
+                params, x_pad
+            )
+            val, grads = jax.value_and_grad(loss)(params)
+        finally:
+            ops.set_backend("xla")
+        np.testing.assert_allclose(
+            np.asarray(out_dp)[relabeled], np.asarray(out_1),
+            rtol=2e-3, atol=1e-4,
+        )
+        assert np.isfinite(float(val))
+        for leaf in jax.tree.leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_edge_balanced_partition():
+    """balance='edges' splits a skewed graph into ~equal edge counts and
+    still reproduces single-chip results."""
+    rng = np.random.default_rng(11)
+    n, e, r = 240, 1200, 3
+    # heavy skew: most edges land on the first 24 nodes
+    dst = np.where(
+        rng.random(e) < 0.7, rng.integers(0, 24, e), rng.integers(24, n, e)
+    )
+    src = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    n_parts = 4
+    sgn, info_n = partition_by_dst(src, dst, rel, n, r, n_parts, tile=8)
+    sge, info_e = partition_by_dst(
+        src, dst, rel, n, r, n_parts, tile=8, balance="edges"
+    )
+    def shard_edges(sg, n_parts):
+        counts = []
+        for p in range(n_parts):
+            gp = jax.tree.map(lambda a: a[p], sg)
+            counts.append(int((np.asarray(gp.dst) < gp.num_nodes).sum()))
+        return counts
+    cn = shard_edges(sgn, n_parts)
+    ce = shard_edges(sge, n_parts)
+    assert sum(ce) == e
+    assert max(ce) < max(cn)  # balanced beats node-uniform on skew
+    assert max(ce) <= 1.35 * e / n_parts
+
+    mesh = make_mesh(n_parts)
+    sge = shard_stacked(sge, mesh)
+    x = rng.standard_normal((n, 8), dtype=np.float32)
+    x_pad = jnp.asarray(info_e.pad_node_data(x))
+    layer = RGCNLayer(in_feat=8, out_feat=4, num_rels=r)
+    dp = DPGNN([layer], mesh)
+    params = dp.init(jax.random.PRNGKey(0), sge, x_pad)
+    out_dp = jax.jit(lambda p, xx: dp.apply(p, sge, xx))(params, x_pad)
+    g1 = build_heterograph(src, dst, rel, n, r, tile=8)
+    out_1 = layer.apply(params[0], g1, jnp.asarray(x))
+    relabeled = info_e.relabel(np.arange(n))
+    np.testing.assert_allclose(
+        np.asarray(out_dp)[relabeled], np.asarray(out_1),
+        rtol=2e-3, atol=1e-4,
+    )

@@ -64,6 +64,64 @@ def test_train_compact_flag():
     assert m["flags"]["compact"] and m["flags"]["multiply_first"]
 
 
+def test_train_bf16_mixed_precision():
+    """2-layer bf16 mixed-precision training converges (f32 master params,
+    bf16 compute, dynamic loss scaling active)."""
+    cfg = TrainConfig(
+        model="RGAT",
+        dataset="aifb",
+        dataset_scale=0.02,
+        n_infeat=16,
+        hidden=16,
+        num_heads=2,
+        num_layers=2,
+        num_classes=4,
+        num_epochs=30,
+        warmup_epochs=1,
+        dropout=0.0,
+        lr=5e-2,
+        tile=8,
+        dtype="bfloat16",
+        loss_scale="dynamic",
+    )
+    m = train(cfg)
+    assert np.isfinite(m["loss_list"]).all()
+    assert m["loss_list"][-1] < m["loss_list"][0] * 0.9
+    assert m["train_acc"] > 0.4
+    assert m["flags"]["dtype"] == "bfloat16"
+
+
+def test_loss_scale_policy():
+    """Dynamic loss scale halves on inf grads, doubles after the growth
+    interval, and static/none policies scale as specified."""
+    import jax.numpy as jnp
+
+    from het_tpu.train.scaling import (
+        DynamicLossScale,
+        all_finite,
+        cast_floating,
+        make_loss_scale,
+    )
+
+    pol = DynamicLossScale(init_scale=1024.0, growth_interval=2)
+    st = pol.init_state()
+    assert float(pol.scale(jnp.asarray(2.0), st)) == 2048.0
+    st_bad = pol.update(st, jnp.asarray(False))
+    assert float(st_bad.scale) == 512.0
+    st1 = pol.update(st, jnp.asarray(True))
+    st2 = pol.update(st1, jnp.asarray(True))
+    assert float(st2.scale) == 2048.0  # doubled after 2 good steps
+    assert not bool(all_finite({"a": jnp.asarray([1.0, jnp.inf])}))
+    tree = cast_floating({"w": jnp.ones(3), "i": jnp.arange(3)},
+                         jnp.bfloat16)
+    assert tree["w"].dtype == jnp.bfloat16 and tree["i"].dtype == jnp.int32
+    static, dyn = make_loss_scale(8.0)
+    assert not dyn
+    sst = static.init_state()
+    g = static.unscale({"g": jnp.asarray(16.0)}, sst)
+    assert float(g["g"]) == 2.0
+
+
 def test_dataset_loader_npy():
     import os
 
