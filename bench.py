@@ -50,7 +50,7 @@ def main() -> None:
 
         return step
 
-    def timed(backend, **model_kw):
+    def timed(backend, bf16=False, **model_kw):
         model = RGATModel(
             in_feat=f_in, hidden=hidden, num_classes=8,
             num_rels=g.num_rels, num_heads=heads, num_layers=1,
@@ -58,20 +58,28 @@ def main() -> None:
         )
         ops.set_backend("xla")
         params = model.init(jax.random.PRNGKey(1), g, x)
+        xx = x
+        if bf16:
+            # mixed precision: bf16 params/activations in the step (the
+            # training driver keeps f32 masters; the cast is the per-step
+            # compute path being measured)
+            params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+            xx = x.astype(jnp.bfloat16)
         ops.set_backend(backend)
         try:
-            return op_time_ms(make_step(model, params), x, n1=2, n2=14,
+            return op_time_ms(make_step(model, params), xx, n1=2, n2=14,
                               trials=2)
         finally:
             ops.set_backend("xla")
 
-    # three variants, each measured for real (no aliasing — ADVICE r1):
-    # portable XLA lowering (baseline), plain Pallas, and Pallas with
-    # Hector's signature optimization flags (headline)
+    # four variants, each measured for real (no aliasing — ADVICE r1):
+    # portable XLA lowering (baseline), plain Pallas, Pallas with Hector's
+    # signature optimization flags (headline), and the same in bf16
     t_xla = timed("xla")
     t_pallas = timed("pallas")
     t_opt = timed("pallas", compact=True, multiply_first=True)
-    t_best = min(t_xla, t_pallas, t_opt)
+    t_bf16 = timed("pallas", bf16=True, compact=True, multiply_first=True)
+    t_best = min(t_xla, t_pallas, t_opt, t_bf16)
     edges_per_s = g.num_edges / (t_best / 1e3)
     print(
         json.dumps(
@@ -83,6 +91,7 @@ def main() -> None:
                 "detail": {
                     "t_pallas_ms": round(t_pallas, 3),
                     "t_pallas_compact_multfirst_ms": round(t_opt, 3),
+                    "t_bf16_compact_multfirst_ms": round(t_bf16, 3),
                     "t_xla_ms": round(t_xla, 3),
                     "num_edges": g.num_edges,
                     "num_nodes": g.num_nodes,
