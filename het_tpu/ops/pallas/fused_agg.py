@@ -84,6 +84,11 @@ def _make_fused_op(act: str, slope: float, clip: Optional[float]):
         EP, HD = feat2d.shape
         H = raw.shape[1]
         D = HD // H
+        # bf16 inputs ride the kernel's exact single-pass bf16 MXU path
+        # (half the DMA bytes, 1/3 the MXU work); f32 keeps bf16x3
+        pack_dt = (
+            jnp.bfloat16 if feat2d.dtype == jnp.bfloat16 else jnp.float32
+        )
         z = jnp.exp(
             _act_apply(raw.astype(jnp.float32), act, slope, clip)
         )  # (EP, H); finite (=1) on padding edges, dropped by the kernel
@@ -94,11 +99,12 @@ def _make_fused_op(act: str, slope: float, clip: Optional[float]):
         # emitted by this same fused pass (an inner jnp.pad would cost one
         # extra full read+write of the packed buffer)
         pad = -(H + HD) % 128
-        parts = [z, zf]
+        parts = [z.astype(pack_dt), zf.astype(pack_dt)]
         if pad:
-            parts.append(jnp.zeros((EP, pad), jnp.float32))
+            parts.append(jnp.zeros((EP, pad), pack_dt))
         packed = jnp.concatenate(parts, axis=1)
-        agg = seg_sum_dst_pallas_raw(g, packed)  # (N, H + HD [+ pad])
+        agg = seg_sum_dst_pallas_raw(g, packed)  # (N, H + HD [+ pad]) f32
+        agg = agg.astype(jnp.float32)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
         return out.astype(feat2d.dtype), s, out
@@ -218,12 +224,15 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         actd = _act_deriv(raw, act, slope, clip)
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
         zf = (feat_e.reshape(EP, H, D) * z[..., None]).reshape(EP, HD)
+        pack_dt = (
+            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
+        )
         pad = -(H + HD) % 128
-        parts = [z, zf]
+        parts = [z.astype(pack_dt), zf.astype(pack_dt)]
         if pad:
-            parts.append(jnp.zeros((EP, pad), jnp.float32))
+            parts.append(jnp.zeros((EP, pad), pack_dt))
         packed = jnp.concatenate(parts, axis=1)
-        agg = seg_sum_dst_pallas_raw(g, packed)
+        agg = seg_sum_dst_pallas_raw(g, packed).astype(jnp.float32)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
         return out.astype(feat_c2d.dtype), (z, actd, s, out)

@@ -60,7 +60,7 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _make_kernel(C: int, nb: int, chunk: int, G: int):
+def _make_kernel(C: int, nb: int, chunk: int, G: int, bf16_vals: bool):
     def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sems):
         i = pl.program_id(0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
@@ -100,22 +100,34 @@ def _make_kernel(C: int, nb: int, chunk: int, G: int):
                 onehot = jnp.where(
                     (gidx >= lower) & (gidx < upper), 1.0, 0.0
                 ).astype(jnp.bfloat16)  # exact in bf16
-                # bf16x3 significand split of the values (24 mantissa
-                # bits): 3 bf16 MXU passes instead of the ~6 of
-                # Precision.HIGHEST — exact for the 0/1 left operand
-                v32 = vch[c % 2].astype(jnp.float32)
-                v_hi = v32.astype(jnp.bfloat16)
-                r1 = v32 - v_hi.astype(jnp.float32)
-                v_mid = r1.astype(jnp.bfloat16)
-                v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
                 total = acc[...]
-                for part in (v_hi, v_mid, v_lo):
+                if bf16_vals:
+                    # bf16 payload: ONE MXU pass — the f32 accumulator
+                    # sums bf16 products exactly (both operands exact)
                     total = total + jax.lax.dot_general(
                         onehot,
-                        part,
+                        vch[c % 2],
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+                else:
+                    # bf16x3 significand split of the f32 values (24
+                    # mantissa bits): 3 bf16 MXU passes instead of the ~6
+                    # of Precision.HIGHEST — exact for the 0/1 operand
+                    v32 = vch[c % 2].astype(jnp.float32)
+                    v_hi = v32.astype(jnp.bfloat16)
+                    r1 = v32 - v_hi.astype(jnp.float32)
+                    v_mid = r1.astype(jnp.bfloat16)
+                    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    for part in (v_hi, v_mid, v_lo):
+                        total = total + jax.lax.dot_general(
+                            onehot,
+                            part,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
                 acc[...] = total
                 return 0
 
@@ -320,10 +332,14 @@ def seg_sum_sorted_pallas_raw(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # bf16 payloads take the exact single-pass MXU path; the output stays
+    # f32 (the accumulator dtype) so downstream divides keep precision
+    bf16_vals = vals2d.dtype == jnp.bfloat16
+    out_dtype = jnp.float32 if bf16_vals else vals2d.dtype
     out = pl.pallas_call(
-        _make_kernel(C, nb, chunk, G),
+        _make_kernel(C, nb, chunk, G, bf16_vals),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, C), vals2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, C), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * EP * nb * C,
@@ -358,11 +374,13 @@ def seg_sum_dst_pallas_raw(
 
 @jax.custom_vjp
 def _seg_sum_core(vals2d: Array, g: HeteroGraph) -> Array:
-    return seg_sum_dst_pallas_raw(g, vals2d)
+    # dtype-stable (bf16 in -> bf16 out) so the custom-vjp cotangent
+    # structure matches; the raw kernel's f32 accumulator is internal
+    return seg_sum_dst_pallas_raw(g, vals2d).astype(vals2d.dtype)
 
 
 def _ssc_fwd(vals2d, g):
-    return seg_sum_dst_pallas_raw(g, vals2d), g
+    return _seg_sum_core(vals2d, g), g
 
 
 def _ssc_bwd(g, ct):

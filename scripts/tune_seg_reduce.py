@@ -28,7 +28,7 @@ vals = jax.random.normal(jax.random.PRNGKey(0), (EP, 128), jnp.float32)
 print(g.describe(), flush=True)
 
 
-def make_concat_kernel(C, nb, chunk, G):
+def make_concat_kernel(C, nb, chunk, G, bf16_vals=False):
     def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sems):
         i = pl.program_id(0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
@@ -119,3 +119,9 @@ run("base", orig_make, 512, 8)
 run("concat", make_concat_kernel, 512, 4)
 run("concat", make_concat_kernel, 1024, 4)
 run("concat", make_concat_kernel, 1024, 8)
+
+# bf16 payload: exact single-pass path
+vals_bf = vals.astype(jnp.bfloat16)
+t = op_time_ms(lambda v: sr.seg_sum_dst_pallas_raw(g, v, chunk=512),
+               vals_bf)
+print(f"bf16 single-pass chunk=512 G=4: {t:.3f} ms", flush=True)

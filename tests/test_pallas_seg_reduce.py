@@ -78,3 +78,32 @@ def test_seg_max_matches_xla(rng):
     want = np.where(np.isfinite(np.asarray(want)), np.asarray(want), 0.0)
     got = seg_max_dst_pallas_raw(g, masked, interpret=True, nb=16, chunk=128)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_payload_single_pass():
+    """bf16 payloads take the single-pass MXU path; sums of bf16 values in
+    the f32 accumulator are exact (equal to summing upcast f32 values)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from het_tpu.graph import random_heterograph
+    from het_tpu.ops.pallas.seg_reduce import seg_sum_dst_pallas
+
+    g = random_heterograph(num_nodes=48, num_edges=500, num_rels=3, tile=8)
+    vals = jax.random.normal(
+        jax.random.PRNGKey(0), (g.num_padded_edges, 5)
+    ).astype(jnp.bfloat16)
+    got = seg_sum_dst_pallas(g, vals)
+    assert got.dtype == jnp.bfloat16
+    want = jax.ops.segment_sum(
+        g.edge_mask(vals).astype(jnp.float32), g.dst,
+        num_segments=g.num_nodes + 1, indices_are_sorted=True,
+    )[: g.num_nodes]
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want),
+        rtol=8e-3, atol=1e-2,  # one final f32->bf16 round on the output
+    )
+    # grads flow with matching dtype
+    gr = jax.grad(lambda v: jnp.sum(seg_sum_dst_pallas(g, v) ** 2))(vals)
+    assert gr.dtype == jnp.bfloat16
