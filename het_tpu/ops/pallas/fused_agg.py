@@ -270,10 +270,17 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         dfeat_e = (alpha[..., None] * ctd).reshape(EP, HD)
         t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd, axis=-1)
         draw = alpha * (t1 - t2d) * actd
+        # bf16 training: backward reduce payloads ride the single-pass
+        # bf16 kernel path too (grads are bf16-precision in mixed mode)
+        pack_dt = (
+            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
+        )
+        draw = draw.astype(pack_dt)
+        dfeat_e = dfeat_e.astype(pack_dt)
         # destination side: canonical (dst, rel) runs — no permute
         padD = 128 - H
         valsD = jnp.concatenate(
-            [draw, jnp.zeros((EP, padD), jnp.float32)], axis=1
+            [draw, jnp.zeros((EP, padD), pack_dt)], axis=1
         )
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
         redD = seg_sum_sorted_pallas_raw(
@@ -290,7 +297,7 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         padS = -(H + HD) % 128
         partsS = [draw, dfeat_e]
         if padS:
-            partsS.append(jnp.zeros((EP, padS), jnp.float32))
+            partsS.append(jnp.zeros((EP, padS), pack_dt))
         payload = jnp.concatenate(partsS, axis=1)
         vals_p = take_rows(payload, infoS.edge_sort_perm)
         redS = seg_sum_sorted_pallas_raw(

@@ -60,6 +60,7 @@ def dp_apply(
     mesh: Mesh,
     *,
     axis: str = "dp",
+    check_vma: bool = False,
 ):
     """Run ``apply_fn(params, g_local, x_local)`` on every shard.
 
@@ -78,9 +79,14 @@ def dp_apply(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(axis),
-        # custom_vjp ops inside defeat the static varying-axes inference;
-        # the transpose math (psum of replicated-param grads) is unchanged
-        check_vma=False,
+        # default False: the custom_vjp ops' cotangents defeat the
+        # static varying-axes inference in the shard_map TRANSPOSE (the
+        # replicated-params grad out_spec cannot be proven psum-reduced
+        # over 'dp' through an opaque custom_vjp boundary — verified: the
+        # forward passes with check_vma=True, value_and_grad does not).
+        # The transpose math itself (psum of replicated-param grads) is
+        # unchanged; parity vs single chip is tested incl. grads.
+        check_vma=check_vma,
     )(params, sg, x)
 
 
