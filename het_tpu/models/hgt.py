@@ -137,17 +137,23 @@ class HGTLayer(nn.Module):
 
         if self.compact:
             # attn_weight·q once per unique (rel, dst) (models.py:179-210),
-            # scored single-sided from compact rows (no per-edge expansion)
+            # scored single-sided from compact rows, and the message
+            # transform v·W_msg once per unique (rel, src), aggregated
+            # straight from compact rows (reference models.py:255 under
+            # the compact flag)
             att_q_c = ops.compact_typed_linear(g, q, rel_att, side="dst")
             score = ops.compact_dst_inner(g, att_q_c, k)
+            message_c = ops.compact_typed_linear(g, v, rel_msg, side="src")
+            new_h = ops.hgt_softmax_weighted_agg_compact(
+                g, message_c, score, mu, stable=self.stable_softmax
+            )
         else:
             att_q_e = ops.edge_typed_linear(g, q, rel_att, side="dst")
             score = ops.inner_product_edge_node(g, att_q_e, k, side="src")
-
-        message_e = ops.edge_typed_linear(g, v, rel_msg, side="src")
-        new_h = ops.hgt_softmax_weighted_agg(
-            g, message_e, score, mu, stable=self.stable_softmax
-        )  # (N, H, d_k)
+            message_e = ops.edge_typed_linear(g, v, rel_msg, side="src")
+            new_h = ops.hgt_softmax_weighted_agg(
+                g, message_e, score, mu, stable=self.stable_softmax
+            )  # (N, H, d_k)
         new_h = new_h.reshape(g.num_nodes, self.out_dim)
 
         # skip-gated per-ntype output projection (models.py:276-287):

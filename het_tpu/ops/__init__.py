@@ -30,6 +30,7 @@ from .spmm import (  # noqa: F401
     edge_softmax_weighted_sum,
     hgt_edge_softmax,
     hgt_softmax_weighted_agg,
+    hgt_softmax_weighted_agg_compact,
     inner_product_edge_node,
     relational_fused_gat,
     relational_fused_gat_compact,

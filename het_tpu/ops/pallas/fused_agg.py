@@ -315,6 +315,108 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
     return op
 
 
+@functools.lru_cache(maxsize=None)
+def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
+    """Fused softmax aggregation whose FEATURES live on source-compact
+    rows while the logits stay per-edge (HGT: message = v·W_msg[rel]
+    materialized once per unique (rel, src), score per edge).  The
+    reference's compact flag covers the message transform the same way
+    (hrt/python/HGT/models.py:255 with unique-node row indices).
+
+        out[v] = sum_e softmax_dst(act(raw_e))_e * feat_c[cmapS(e)]
+
+    Backward: d_feat_c reduces over ``edge_sort_perm`` into compact rows
+    (one sorted kernel call); d_raw is pure per-edge elementwise (no
+    reduction at all)."""
+
+    def _fwd(feat_c2d, raw_e, g):
+        from .seg_reduce import seg_sum_dst_pallas_raw
+
+        infoS = g.compact_src
+        EP = g.num_padded_edges
+        H = raw_e.shape[1]
+        HD = feat_c2d.shape[1]
+        D = HD // H
+        z = jnp.exp(_act_apply(raw_e.astype(jnp.float32), act, slope, clip))
+        feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
+        zf = (feat_e.reshape(EP, H, D) * z[..., None]).reshape(EP, HD)
+        pack_dt = (
+            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
+        )
+        pad = -(H + HD) % 128
+        parts = [z.astype(pack_dt), zf.astype(pack_dt)]
+        if pad:
+            parts.append(jnp.zeros((EP, pad), pack_dt))
+        packed = jnp.concatenate(parts, axis=1)
+        agg = seg_sum_dst_pallas_raw(g, packed).astype(jnp.float32)
+        s, num = agg[:, :H], agg[:, H : H + HD]
+        out = safe_div(num.reshape(-1, H, D), s[..., None])
+        return out.astype(feat_c2d.dtype), (s, out)
+
+    @jax.custom_vjp
+    def op(feat_c2d, raw_e, g):
+        return _fwd(feat_c2d, raw_e, g)[0]
+
+    def fwd_rule(feat_c2d, raw_e, g):
+        out_cast, (s, out) = _fwd(feat_c2d, raw_e, g)
+        return out_cast, (feat_c2d, raw_e, s, out, g)
+
+    def _bwd(res, ct):
+        feat_c2d, raw_e, s, out, g = res
+        infoS = g.compact_src
+        EP = g.num_padded_edges
+        HD = feat_c2d.shape[1]
+        H = raw_e.shape[1]
+        D = HD // H
+        z = jnp.exp(_act_apply(raw_e.astype(jnp.float32), act, slope, clip))
+        actd = _act_deriv(raw_e.astype(jnp.float32), act, slope, clip)
+        ct = ct.astype(jnp.float32)
+        ct2 = ct.reshape(-1, HD)
+        t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
+        ctpack = jnp.concatenate([ct2, s, t2], axis=1)
+        cpe = gather_dst(g, ctpack)
+        ctd = cpe[:, :HD].reshape(EP, H, D)
+        s_d = cpe[:, HD : HD + H]
+        t2d = cpe[:, HD + H :]
+        alpha = safe_div(z, s_d)
+        feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
+        t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd, axis=-1)
+        draw = alpha * (t1 - t2d) * actd  # (EP, H): pure elementwise
+        pack_dt = (
+            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
+        )
+        dfeat_e = (alpha[..., None] * ctd).reshape(EP, HD).astype(pack_dt)
+        pad = -HD % 128
+        if pad:
+            dfeat_e = jnp.concatenate(
+                [dfeat_e, jnp.zeros((EP, pad), pack_dt)], axis=1
+            )
+        red = _sorted_compact_reduce(infoS, dfeat_e, EP - g.num_edges)
+        d_feat_c = red[:, :HD].astype(feat_c2d.dtype)
+        return d_feat_c, draw.astype(raw_e.dtype), None
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def fused_softmax_agg_src_compact(
+    g: HeteroGraph,
+    feat_c: Array,
+    raw_e: Array,
+    *,
+    act: str = "identity",
+    slope: float = 0.2,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable fused softmax aggregation with source-compact
+    features and per-edge logits.  feat_c (UCs, H, D); raw_e (EP, H) ->
+    (N, H, D)."""
+    UC, H, D = feat_c.shape
+    op = _make_src_compact_fused_op(act, float(slope), clip)
+    out = op(feat_c.reshape(UC, H * D), raw_e, g)
+    return out.reshape(g.num_nodes, H, D)
+
+
 @jax.custom_vjp
 def _compact_weighted_agg_op(feat_c2d, w_e, g):
     return _cwa_fwd(feat_c2d, w_e, g)[0]

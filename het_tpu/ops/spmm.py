@@ -245,6 +245,44 @@ def hgt_softmax_weighted_agg(
     return scatter_sum_dst(g, message_e * alpha[..., None])
 
 
+def hgt_softmax_weighted_agg_compact(
+    g: HeteroGraph,
+    message_c: Array,
+    score_e: Array,
+    mu: Array,
+    *,
+    stable: bool = False,
+) -> Array:
+    """HGT softmax + weighted aggregation with COMPACT messages: the
+    v·W_msg[rel] transform is materialized once per unique (rel, src)
+    and aggregated single-sided; scores stay per-edge.
+
+    Reference: the compact flag covers the message relational matmul the
+    same way (hrt/python/HGT/models.py:255 with unique-node row indices +
+    mean aggregation)."""
+    from . import get_backend
+
+    if (
+        get_backend() == "pallas"
+        and stable in (False, "raw", "clip")
+        and g.compact_src.edge_sort_perm is not None
+    ):
+        from .pallas.fused_agg import fused_softmax_agg_src_compact
+
+        mu_e = jnp.take(mu, g.rel, axis=0)
+        return fused_softmax_agg_src_compact(
+            g,
+            message_c,
+            score_e * mu_e,
+            act="identity",
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    from .linear import expand_compact
+
+    message_e = expand_compact(g, message_c, side="src")
+    return hgt_softmax_weighted_agg(g, message_e, score_e, mu, stable=stable)
+
+
 def edge_softmax_weighted_sum(
     g: HeteroGraph, logits: Array, vec_e: Array, *, stable: bool = False
 ) -> Array:
