@@ -59,6 +59,48 @@ def _segment_max_dst(g: HeteroGraph, edge_vals: Array) -> Array:
     return jax.lax.stop_gradient(out[: g.num_nodes])
 
 
+def _make_inner_product(side: str):
+    is_dst = side == "dst"
+
+    @jax.custom_vjp
+    def ip(left_e, right, g):
+        r_e = gather_nodes(right, g.dst if is_dst else g.src)
+        return jnp.sum(
+            left_e.astype(jnp.float32) * r_e.astype(jnp.float32), axis=-1
+        ).astype(left_e.dtype)
+
+    def fwd(left_e, right, g):
+        return ip(left_e, right, g), (left_e, right, g)
+
+    def bwd(res, ct):
+        from .common import scatter_sum_src
+
+        left_e, right, g = res
+        r_e = gather_nodes(right, g.dst if is_dst else g.src)
+        ct32 = ct.astype(jnp.float32)
+        d_left = (ct32[..., None] * r_e.astype(jnp.float32)).astype(
+            left_e.dtype
+        )
+        # node-side cotangent: sorted segment reduction, not autodiff's
+        # unsorted scatter-add (the framework-wide rule)
+        payload = ct32[..., None] * left_e.astype(jnp.float32)
+        flat = payload.reshape(payload.shape[0], -1)
+        d_right = (
+            scatter_sum_dst(g, flat) if is_dst else scatter_sum_src(g, flat)
+        )
+        d_right = d_right.reshape(right.shape).astype(right.dtype)
+        return d_left, d_right, None
+
+    ip.defvjp(fwd, bwd)
+    return ip
+
+
+_inner_product = {
+    "dst": _make_inner_product("dst"),
+    "src": _make_inner_product("src"),
+}
+
+
 def inner_product_edge_node(
     g: HeteroGraph, left_e: Array, right: Array, side: str = "dst"
 ) -> Array:
@@ -66,9 +108,9 @@ def inner_product_edge_node(
 
     ``left_e``: (EP, H, D) per-edge; ``right``: (N, H, D) per-node.
     Reference: ``rgnn_inner_product_right_node_separatecoo``
-    (RGNNOps.inc.h:609)."""
-    r_e = gather_nodes(right, g.dst if side == "dst" else g.src)
-    return jnp.sum(left_e * r_e, axis=-1)
+    (RGNNOps.inc.h:609).  Custom VJP: the node-side gradient runs as a
+    sorted segment reduction instead of autodiff's unsorted scatter."""
+    return _inner_product[side](left_e, right, g)
 
 
 CLIP_LOGIT = 60.0  # exp(60) ~ 1e26: far from f32 overflow, preserves order

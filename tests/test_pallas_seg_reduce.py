@@ -107,3 +107,31 @@ def test_bf16_payload_single_pass():
     # grads flow with matching dtype
     gr = jax.grad(lambda v: jnp.sum(seg_sum_dst_pallas(g, v) ** 2))(vals)
     assert gr.dtype == jnp.bfloat16
+
+
+def test_extreme_degree_skew():
+    """A hub node holding half of all edges (the MySegmentCSR scenario,
+    reference MyHyb.h:480) must reduce exactly — the chunk loop covers
+    arbitrarily long per-node edge ranges."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from het_tpu.graph import build_heterograph
+    from het_tpu.ops.pallas.seg_reduce import seg_sum_dst_pallas_raw
+
+    rng = np.random.default_rng(0)
+    n, e = 64, 4000
+    dst = np.where(rng.random(e) < 0.5, 3, rng.integers(0, n, e))
+    src = rng.integers(0, n, e)
+    g = build_heterograph(src, dst, rng.integers(0, 3, e), n, 3, tile=8,
+                          build_compact=False)
+    vals = jax.random.normal(jax.random.PRNGKey(1),
+                             (g.num_padded_edges, 6))
+    got = seg_sum_dst_pallas_raw(g, vals)
+    want = jax.ops.segment_sum(
+        g.edge_mask(vals), g.dst, num_segments=g.num_nodes + 1,
+        indices_are_sorted=True)[: g.num_nodes]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    assert int(np.asarray(g.in_deg)[3]) > 1500
