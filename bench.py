@@ -30,8 +30,11 @@ def main() -> None:
 
     heads, f_in, hidden = 4, 64, 64
     # real shards when mounted; synthetic fallback capped at sample scale
-    # (full mag is 21M edges — too large for a smoke benchmark)
-    data = load_dataset("mag", tile=128, num_classes=8, scale=0.018)
+    # (full mag is 21M edges — too large for a smoke benchmark).
+    # HET_BENCH_SCALE overrides for capacity runs (e.g. 1.0 = full 21M
+    # edges, synthetic stand-in — see scripts/bench_fullscale.py).
+    scale = float(os.environ.get("HET_BENCH_SCALE", "0.018"))
+    data = load_dataset("mag", tile=128, num_classes=8, scale=scale)
     g = data.graph
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (g.num_nodes, f_in))

@@ -140,20 +140,25 @@ def train(
     scaler, dynamic = make_loss_scale(cfg.loss_scale if mixed else "none")
     scale_state = scaler.init_state()
 
-    def forward(params, dropout_key):
+    # The graph is an explicit ARGUMENT of every jitted function (not a
+    # closure): closed-over arrays are baked into the HLO as constants,
+    # which (a) ships the whole graph inside each compile request — the
+    # remote-compile tunnel rejects this past ~100 MB (HTTP 413 at
+    # full-mag 21M edges) — and (b) bloats the executable.
+    def forward(gg, params, dropout_key):
         # bf16 mode: cast master params + embeddings to bf16 at use — the
         # cast's transpose accumulates gradients back into f32 leaves
         p = cast_floating(params, jnp.bfloat16) if mixed else params
         x = embed.apply(p["embed"])
         return model.apply(
-            p["model"], g, x, deterministic=False,
+            p["model"], gg, x, deterministic=False,
             rngs={"dropout": dropout_key},
         )
 
-    def loss_fn(params, dropout_key):
+    def loss_fn(gg, params, dropout_key):
         # the softmax/NLL head always runs f32 (bf16 log-probs lose the
         # small-logit tail)
-        logits = forward(params, dropout_key).astype(jnp.float32)
+        logits = forward(gg, params, dropout_key).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take(logp, train_idx, axis=0)
         ly = jnp.take(labels, train_idx, axis=0)
@@ -163,9 +168,9 @@ def train(
     loss_jit = jax.jit(loss_fn)
 
     @jax.jit
-    def train_step(params, opt_state, scale_state, dropout_key):
+    def train_step(gg, params, opt_state, scale_state, dropout_key):
         def scaled_loss(p):
-            return scaler.scale(loss_fn(p, dropout_key), scale_state)
+            return scaler.scale(loss_fn(gg, p, dropout_key), scale_state)
 
         sloss, grads = jax.value_and_grad(scaled_loss)(params)
         grads = scaler.unscale(grads, scale_state)
@@ -187,8 +192,8 @@ def train(
         return params, opt_state, scale_state, loss
 
     @jax.jit
-    def accuracy(params, idx):
-        logits = forward(params, jax.random.PRNGKey(0))
+    def accuracy(gg, params, idx):
+        logits = forward(gg, params, jax.random.PRNGKey(0))
         pred = jnp.argmax(jnp.take(logits, idx, axis=0), axis=-1)
         return jnp.mean((pred == jnp.take(labels, idx, axis=0)).astype(
             jnp.float32))
@@ -200,11 +205,11 @@ def train(
     # warm-up (reference: 5 epochs with memory capture, RGNNUtils.py:228-266)
     # (also compiles both jitted paths so timed epochs are compile-free)
     warmup = 0 if cfg.no_warm_up else cfg.warmup_epochs
-    force(fwd_jit(params, k_drop))
+    force(fwd_jit(g, params, k_drop))
     for i in range(warmup):
         k_drop, k = jax.random.split(k_drop)
         params, opt_state, scale_state, loss = train_step(
-            params, opt_state, scale_state, k
+            g, params, opt_state, scale_state, k
         )
     force(loss if warmup else params)
     mem_peak = _device_mem_mb()
@@ -223,13 +228,13 @@ def train(
         # force() does a tiny host fetch: block_until_ready is a no-op on
         # fully-async dispatch runtimes (see utils/timing.py)
         t0 = time.perf_counter()
-        out = fwd_jit(params, k1)
+        out = fwd_jit(g, params, k1)
         force(out)
         t_fwd = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         params, opt_state, scale_state, loss = train_step(
-            params, opt_state, scale_state, k2
+            g, params, opt_state, scale_state, k2
         )
         force(loss)
         t_total = time.perf_counter() - t0
@@ -247,8 +252,8 @@ def train(
     def _mean(xs):
         return float(np.mean(xs[cut:])) if xs else float("nan")
 
-    train_acc = float(accuracy(params, train_idx))
-    test_acc = float(accuracy(params, test_idx))
+    train_acc = float(accuracy(g, params, train_idx))
+    test_acc = float(accuracy(g, params, test_idx))
 
     metrics = {
         "dataset": data.name,

@@ -1,0 +1,104 @@
+"""Full-published-scale single-chip capacity run: ogbn-mag at 21M edges
+(synthetic stand-in at the published node/edge/relation counts — the real
+tree only ships the 0.1 sample), RGAT compact+multiply_first, bf16.
+
+The graph rides as a jit ARGUMENT (closure constants would ship the whole
+21M-edge graph inside the remote compile request — HTTP 413).
+
+Writes docs/FULLSCALE_r2.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from het_tpu import ops
+from het_tpu.data.loaders import _synthetic
+from het_tpu.models import RGATModel
+from het_tpu.utils.timing import force
+
+
+def main(scale=1.0, dtype=jnp.bfloat16):
+    t0 = time.time()
+    data = _synthetic("mag", scale=scale, num_classes=8, seed=0, tile=128)
+    g = data.graph
+    t_build = time.time() - t0
+    print(g.describe(), f"build {t_build:.0f}s", flush=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.num_nodes, 64), dtype)
+    labels = jnp.asarray(data.labels) % 8
+    model = RGATModel(
+        in_feat=64, hidden=64, num_classes=8, num_rels=g.num_rels,
+        num_heads=4, num_layers=1, dropout=0.0, compact=True,
+        multiply_first=True, stable_softmax="clip",
+    )
+    ops.set_backend("xla")
+    params = model.init(
+        jax.random.PRNGKey(1), g, jnp.zeros((g.num_nodes, 64), dtype)
+    )
+    params = jax.tree.map(lambda p: p.astype(dtype), params)
+    ops.set_backend("pallas")
+
+    def step(gg, xx):
+        def loss_fn(p):
+            logits = model.apply(p, gg, xx).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], axis=1)
+            )
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    # chained-slope timing (utils/timing.py recipe) with the graph as a
+    # jit ARGUMENT — chain_wrap would close over it and re-bake constants
+    @jax.jit
+    def chain_step(gg, xx):
+        loss, grads = step(gg, xx)
+        s = jnp.sum(loss).astype(jnp.float32)
+        for leaf in jax.tree.leaves(grads):
+            s = s + jnp.sum(leaf).astype(jnp.float32)
+        eps = s * jnp.asarray(1e-30, jnp.float32)
+        return xx + eps.astype(xx.dtype)
+
+    try:
+        xc = chain_step(g, x)
+        force(xc)  # compile + settle
+
+        def run(n):
+            xx = x
+            t0 = time.perf_counter()
+            for _ in range(n):
+                xx = chain_step(g, xx)
+            force(xx)
+            return time.perf_counter() - t0
+
+        samples = []
+        for _ in range(2):
+            t1, t2 = run(1), run(5)
+            samples.append((t2 - t1) / 4)
+        t = float(np.median(samples) * 1e3)
+    finally:
+        ops.set_backend("xla")
+    res = {
+        "edges": g.num_edges,
+        "nodes": g.num_nodes,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "step_ms": round(t, 2),
+        "Medges_per_s": round(g.num_edges / t / 1e3, 2),
+        "graph_build_s": round(t_build, 1),
+    }
+    print(res, flush=True)
+    with open(os.path.join(os.path.dirname(__file__), "..", "docs",
+                           "FULLSCALE_r2.json"), "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
