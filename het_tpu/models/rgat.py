@@ -82,18 +82,25 @@ class RGATLayer(nn.Module):
             # one projected row per unique (rel, node); logits also compact.
             # Everything stays in compact rows all the way into the fused
             # single-sided aggregation (no per-edge expansion op).
-            feat_c_src = ops.compact_typed_linear(g, x, conv_w, side="src")
             if self.multiply_first:
-                # el = x · (W·a): skip materializing per-(rel,node) features
+                # el = x · (W·a): skip materializing per-(rel,node)
+                # features for the logit, and ride the SAME segment matmul
+                # as the feature projection (concatenated output columns —
+                # one row gather + one MXU pass instead of two)
                 wa_l = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_l)
                 wa_r = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_r)
-                el_c = ops.compact_typed_linear(
-                    g, x, wa_l[..., None], side="src"
-                )[..., 0]
+                w_cat = jnp.concatenate(
+                    [conv_w, wa_l[..., None]], axis=-1
+                )  # (R, H, K, D+1)
+                fe = ops.compact_typed_linear(g, x, w_cat, side="src")
+                feat_c_src, el_c = fe[..., :D], fe[..., D]
                 er_c = ops.compact_typed_linear(
                     g, x_dst, wa_r[..., None], side="dst"
                 )[..., 0]
             else:
+                feat_c_src = ops.compact_typed_linear(
+                    g, x, conv_w, side="src"
+                )
                 el_c = jnp.einsum(
                     "uhd,uhd->uh",
                     feat_c_src,
@@ -110,14 +117,16 @@ class RGATLayer(nn.Module):
                 stable=self.stable_softmax,
             )
         else:
-            feat_src_e = ops.edge_typed_linear(g, x, conv_w, side="src")
             rel_e = g.rel
             if self.multiply_first:
                 wa_l = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_l)
                 wa_r = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_r)
-                el = ops.edge_typed_linear(g, x, wa_l[..., None], "src")[..., 0]
+                w_cat = jnp.concatenate([conv_w, wa_l[..., None]], axis=-1)
+                fe = ops.edge_typed_linear(g, x, w_cat, side="src")
+                feat_src_e, el = fe[..., :D], fe[..., D]
                 er = ops.edge_typed_linear(g, x_dst, wa_r[..., None], "dst")[..., 0]
             else:
+                feat_src_e = ops.edge_typed_linear(g, x, conv_w, side="src")
                 el = ops.edge_rel_inner(g, feat_src_e, attn_l)
                 feat_dst_e = ops.edge_typed_linear(g, x_dst, conv_w, side="dst")
                 er = ops.edge_rel_inner(g, feat_dst_e, attn_r)

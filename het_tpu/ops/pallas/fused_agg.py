@@ -221,7 +221,6 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
             + take_rows(er_c, infoD.edge_map)
         ).astype(jnp.float32)
         z = jnp.exp(_act_apply(raw, act, slope, clip))
-        actd = _act_deriv(raw, act, slope, clip)
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
         zf = (feat_e.reshape(EP, H, D) * z[..., None]).reshape(EP, HD)
         pack_dt = (
@@ -235,46 +234,58 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         agg = seg_sum_dst_pallas_raw(g, packed).astype(jnp.float32)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
-        return out.astype(feat_c2d.dtype), (z, actd, s, out)
+        return out.astype(feat_c2d.dtype), (s, out)
 
     @jax.custom_vjp
     def op(feat_c2d, el_c, er_c, g):
         return _fwd(feat_c2d, el_c, er_c, g)[0]
 
     def fwd_rule(feat_c2d, el_c, er_c, g):
-        out_cast, (z, actd, s, out) = _fwd(feat_c2d, el_c, er_c, g)
-        return out_cast, (feat_c2d, el_c, er_c, z, actd, s, out, g)
+        # residuals hold NO (EP, H)-shaped arrays: a narrow-minor per-edge
+        # array is lane-padded 32x on TPU (H=4 -> 128), which at full-mag
+        # scale (21M edges) is ~10 GB each.  z / act' are recomputed in
+        # the backward from two compact-row gathers instead.
+        out_cast, (s, out) = _fwd(feat_c2d, el_c, er_c, g)
+        return out_cast, (feat_c2d, el_c, er_c, s, out, g)
 
     def _bwd(res, ct):
         from .seg_reduce import seg_sum_sorted_pallas_raw
 
-        feat_c2d, el_c, er_c, z, actd, s, out, g = res
+        feat_c2d, el_c, er_c, s, out, g = res
         infoS = g.compact_src
         infoD = g.compact_dst
         EP = g.num_padded_edges
         HD = feat_c2d.shape[1]
-        H = z.shape[1]
+        H = el_c.shape[1]
         D = HD // H
         n_guard = EP - g.num_edges
+        pack_dt = (
+            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
+        )
+        # z / act' recomputed from compact rows (see fwd_rule note)
+        raw = (
+            take_rows(el_c, infoS.edge_map)
+            + take_rows(er_c, infoD.edge_map)
+        ).astype(jnp.float32)
+        z = jnp.exp(_act_apply(raw, act, slope, clip))
+        actd = _act_deriv(raw, act, slope, clip)
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
         ct = ct.astype(jnp.float32)
         ct2 = ct.reshape(-1, HD)
         t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
-        # one packed dst gather serves ct, s and t2
-        ctpack = jnp.concatenate([ct2, s, t2], axis=1)  # (N, HD + 2H)
+        # one packed dst gather serves ct, s and t2 (pack_dt keeps the
+        # (EP, 128)-class buffer at half size under mixed precision)
+        ctpack = jnp.concatenate([ct2, s, t2], axis=1).astype(pack_dt)
         cpe = gather_dst(g, ctpack)  # (EP, HD + 2H)
-        ctd = cpe[:, :HD].reshape(EP, H, D)
-        s_d = cpe[:, HD : HD + H]
-        t2d = cpe[:, HD + H :]
+        ctd = cpe[:, :HD].astype(jnp.float32).reshape(EP, H, D)
+        s_d = cpe[:, HD : HD + H].astype(jnp.float32)
+        t2d = cpe[:, HD + H :].astype(jnp.float32)
         alpha = safe_div(z, s_d)
         dfeat_e = (alpha[..., None] * ctd).reshape(EP, HD)
         t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd, axis=-1)
         draw = alpha * (t1 - t2d) * actd
         # bf16 training: backward reduce payloads ride the single-pass
         # bf16 kernel path too (grads are bf16-precision in mixed mode)
-        pack_dt = (
-            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
-        )
         draw = draw.astype(pack_dt)
         dfeat_e = dfeat_e.astype(pack_dt)
         # destination side: canonical (dst, rel) runs — no permute
