@@ -6,33 +6,37 @@ HGT fused softmax/mean-aggregation ops (HGTForwardKernels.cu.h:51,247,428):
 
     out[v] = sum_e softmax_dst(act(raw_e))_e * feat_e      (e: dst(e) = v)
 
-Forward: XLA computes ``z = exp(clip(act(raw)))`` and the z-scaled messages
-and emits them as one packed ``[z | z*feat]`` buffer (a single fused pass —
-measured 0.47 ms at mag scale), which the one-hot-MXU segment-sum kernel
-(seg_reduce.py) reduces per destination; numerator and denominator ride the
-same kernel call.  Padding edges need no masking: the kernel's one-hot
-range-compare drops any edge outside every node's [lower, upper) range.
+Layout rule (round-3 redesign, measured on mag-scale data): per-edge
+payloads here are NARROW — [z | z*feat] is 12-16 lanes for classification
+heads — so every materialized per-edge pass and every kernel DMA rides the
+**folded layout**: k = 128 // Cp consecutive edges per 128-lane row
+(seg_reduce.seg_sum_sorted_folded_pallas_raw).  XLA fuses the fold into the
+producing gather for free (``take(...).reshape(EP//k, 128)`` measures the
+same as the unfolded gather), and the folded reduce kernel runs the same
+MXU work on 1/k the DMA bytes (0.53 ms vs 2.0 ms f32 at mag scale, Cp=16).
 
-Design note (measured, not assumed): an in-kernel variant that performed
-the exp + per-head broadcast scaling inside the Pallas kernel was built and
-measured *slower* (2.4-2.9 ms vs 2.0 ms total) — Mosaic lane-broadcast
-multiplies of a (chunk, 1) column are expensive on the VPU, while XLA fuses
-the same math into its packing pass at near-roofline.  The kernel therefore
-stays a pure reduction; fusion lives in (a) packing numerator+denominator
-into one reduction and (b) the custom VJP below.
+Gather cost model baked into the backward design (measured):
 
-Backward (the big win — it contains **no segment reductions at all**; with
-``s`` = softmax denominators and ``out`` saved from the forward):
+* a RANDOM row gather costs ~0.55 ms at mag scale (HBM read-granule bound,
+  width- and dtype-independent below ~128 lanes);
+* a MONOTONE row gather (run expansion: ``er_c[edge_map_dst]``,
+  ``ctpack[dst]`` — both non-decreasing in canonical order) streams its
+  source and is several times cheaper;
+* an edge-space PERMUTE costs ~2.25 ms flat.
+
+Therefore the backward never permutes a payload: the source-compact-side
+reduction *recomputes* its payload directly in ``edge_sort_perm`` order
+from row gathers over host-precomputed composed index vectors
+(``CompactInfo.perm_self/perm_peer/perm_dst``), and the destination-side
+reduction runs over canonical (dst, rel) runs which need no reorder at all.
+
+Backward math (no segment softmax derivative chains; with ``s`` = softmax
+denominators and ``out`` saved from the forward):
 
     alpha_e   = z_e / s[dst(e)]
     dfeat_e   = alpha_e * ct[dst(e)]
     draw_e    = alpha_e * (<feat_e, ct[dst(e)]> - <out[dst(e)], ct[dst(e)]>)
                 * act'(raw_e)
-
-— every term is a dst-sorted gather or elementwise op, left to XLA's fusion
-engine (measured 0.85 ms vs 5.8 ms for the round-1 autodiff backward).
-This mirrors the reference backward's reuse of saved exp/sum/ret
-(RGATBackwardKernelsSeparateCOO.cu.h) with gathers instead of atomics.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from ...graph.structures import HeteroGraph
-from ..common import gather_dst, safe_div, take_rows
+from ..common import gather_dst, gather_nodes, safe_div, take_rows
 
 Array = jax.Array
 
@@ -72,39 +76,81 @@ def _act_deriv(raw, act: str, slope: float, clip: Optional[float]):
     return d
 
 
+def _fold_width(c: int) -> int:
+    """Smallest 128-divisor lane-block width holding ``c`` payload lanes."""
+    for cp in (8, 16, 32, 64, 128):
+        if cp >= c:
+            return cp
+    raise ValueError(f"payload too wide: {c}")
+
+
+def _pack_dt(x) -> jnp.dtype:
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
+def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables):
+    """Concatenate ``parts`` (total C lanes) into the fold-packed per-edge
+    payload and segment-sum it over the sorted segmentation ``row_ptr``.
+    Returns (n_rows, >=C) float32."""
+    from .seg_reduce import (
+        seg_sum_sorted_folded_pallas_raw,
+        seg_sum_sorted_pallas_raw,
+    )
+
+    Cp = _fold_width(C)
+    k = 128 // Cp
+    pad = (Cp if k > 1 else -(-C // 128) * 128) - C
+    ps = [p.astype(pack_dt) for p in parts]
+    if pad:
+        ps.append(jnp.zeros((EP, pad), pack_dt))
+    packed = jnp.concatenate(ps, axis=1)
+    if k == 1:
+        return seg_sum_sorted_pallas_raw(
+            packed, row_ptr, n_rows, EP - E, tables=tables
+        ).astype(jnp.float32)
+    packed = packed.reshape(EP // k, 128)
+    return seg_sum_sorted_folded_pallas_raw(
+        packed, k, row_ptr, n_rows, EP // k - (E + k - 1) // k,
+        tables=tables,
+    )
+
+
+def _packed_reduce_dst(g: HeteroGraph, parts, C, pack_dt):
+    return _packed_reduce(
+        parts, C, pack_dt, g.in_row_ptr, g.num_nodes,
+        g.num_padded_edges, g.num_edges, g.in_tables,
+    )
+
+
+def _repeat_heads(z: Array, D: int) -> Array:
+    """(EP, H) -> (EP, H*D) head-major broadcast (lane index map, fused by
+    XLA into the surrounding elementwise pass)."""
+    return jnp.repeat(z, D, axis=1) if D > 1 else z
+
+
+def _head_sums(p: Array, H: int, D: int) -> Array:
+    """Sum (EP, H*D) head-major lanes to (EP, H)."""
+    if D == 1:
+        return p
+    return p.reshape(p.shape[0], H, D).sum(axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_op(act: str, slope: float, clip: Optional[float]):
-    """Build the custom-VJP fused op for one static (act, slope, clip)
-    config.  Traced operands (the graph included) flow through arguments —
-    None cotangents — never closures (closures break under shard_map)."""
+    """Custom-VJP fused op, per-edge inputs.  Traced operands (the graph
+    included) flow through arguments — None cotangents — never closures
+    (closures break under shard_map)."""
 
     def _fwd(feat2d, raw, g):
-        from .seg_reduce import seg_sum_dst_pallas_raw
-
         EP, HD = feat2d.shape
         H = raw.shape[1]
         D = HD // H
-        # bf16 inputs ride the kernel's exact single-pass bf16 MXU path
-        # (half the DMA bytes, 1/3 the MXU work); f32 keeps bf16x3
-        pack_dt = (
-            jnp.bfloat16 if feat2d.dtype == jnp.bfloat16 else jnp.float32
-        )
+        pack_dt = _pack_dt(feat2d)
         z = jnp.exp(
             _act_apply(raw.astype(jnp.float32), act, slope, clip)
         )  # (EP, H); finite (=1) on padding edges, dropped by the kernel
-        zf = (
-            feat2d.astype(jnp.float32).reshape(EP, H, D) * z[..., None]
-        ).reshape(EP, HD)
-        # pack to the kernel's 128-lane width here so the zero columns are
-        # emitted by this same fused pass (an inner jnp.pad would cost one
-        # extra full read+write of the packed buffer)
-        pad = -(H + HD) % 128
-        parts = [z.astype(pack_dt), zf.astype(pack_dt)]
-        if pad:
-            parts.append(jnp.zeros((EP, pad), pack_dt))
-        packed = jnp.concatenate(parts, axis=1)
-        agg = seg_sum_dst_pallas_raw(g, packed)  # (N, H + HD [+ pad]) f32
-        agg = agg.astype(jnp.float32)
+        zf = _repeat_heads(z, D) * feat2d.astype(jnp.float32)
+        agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
         return out.astype(feat2d.dtype), s, out
@@ -124,14 +170,19 @@ def _make_fused_op(act: str, slope: float, clip: Optional[float]):
         D = HD // H
         z = jnp.exp(_act_apply(raw.astype(jnp.float32), act, slope, clip))
         ct = ct.astype(jnp.float32)
-        ctd = gather_dst(g, ct.reshape(-1, HD)).reshape(EP, H, D)
-        s_d = gather_dst(g, s)  # (EP, H); zero at sentinel -> alpha 0
-        alpha = safe_div(z, s_d)
-        feat3 = feat2d.astype(jnp.float32).reshape(EP, H, D)
-        dfeat = (alpha[..., None] * ctd).reshape(EP, HD)
-        t1 = jnp.sum(feat3 * ctd, axis=-1)  # (EP, H)
+        ct2 = ct.reshape(-1, HD)
         t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
-        draw = alpha * (t1 - gather_dst(g, t2)) * _act_deriv(
+        # one packed dst gather (monotone: canonical order is dst-sorted)
+        # serves ct, s and t2
+        cpe = gather_dst(g, jnp.concatenate([ct2, s, t2], axis=1))
+        ctd = cpe[:, :HD]
+        s_d = cpe[:, HD : HD + H]
+        t2d = cpe[:, HD + H :]
+        alpha = safe_div(z, s_d)
+        feat32 = feat2d.astype(jnp.float32)
+        dfeat = _repeat_heads(alpha, D) * ctd
+        t1 = _head_sums(feat32 * ctd, H, D)
+        draw = alpha * (t1 - t2d) * _act_deriv(
             raw.astype(jnp.float32), act, slope, clip
         )
         return dfeat.astype(feat2d.dtype), draw.astype(raw.dtype), None
@@ -162,18 +213,12 @@ def fused_softmax_agg(
 # --------------------------- compact (single-sided) fused aggregation
 
 
-def _sorted_compact_reduce(info, payload2d, n_guard):
-    """Reduce per-edge rows into compact rows: permute into compact-row
-    order (CompactInfo.edge_sort_perm) + the sorted one-hot kernel."""
-    from .seg_reduce import seg_sum_sorted_pallas_raw
-
-    vals_p = take_rows(payload2d, info.edge_sort_perm)
-    return seg_sum_sorted_pallas_raw(
-        vals_p,
-        info.edge_row_ptr,
-        info.seg.n_rows,
-        n_guard,
-        tables=info.edge_tables,
+def _sorted_compact_reduce(info, parts, C, pack_dt, EP, E):
+    """Reduce per-edge payload parts (already in edge_sort_perm order) into
+    compact rows over the sorted ``edge_row_ptr`` segmentation."""
+    return _packed_reduce(
+        parts, C, pack_dt, info.edge_row_ptr, info.seg.n_rows, EP, E,
+        info.edge_tables,
     )
 
 
@@ -187,51 +232,34 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
     softmax ops: inputs stay in compact (unique (relation, node)) rows —
     ``feat_c``/``el_c`` on the source side, ``er_c`` on the destination
     side — and per-edge tensors exist only as fused-gather emits feeding
-    the one-hot reduce kernel.
+    the folded one-hot reduce kernel (module docstring for the layout and
+    gather cost rules)."""
 
-    Measured design rules baked in (mag scale, v5e):
-
-    * every gather reads from a *small* (node/compact-row) source —
-      edge-space permutes cost ~2.25 ms flat regardless of width, small-
-      source row gathers ~0.9 ms;
-    * ``el_c`` rides the same gather as ``feat_c`` (host concat, one
-      mapS gather) and the backward's three destination-indexed operands
-      (ct, s, t2) ride one packed dst gather;
-    * the destination-side cotangent reduction runs over canonical
-      (dst, rel) runs — contiguous by construction — so it needs no edge
-      permute at all (CompactInfo.canon_ptr);
-    * the source side pays the one unavoidable edge permute
-      (edge_sort_perm) with [d_el | d_feat] batched into a single kernel
-      call.
-
-    Round-1's expand-then-aggregate form paid three separate unsorted
-    scatter backwards (~10 ms vs ~6 ms for this op's whole backward)."""
+    def _edge_terms(el_feat_c, er_c, idx_self, idx_peer, H):
+        """Per-edge raw logits / z / act' / feat from compact rows, under
+        arbitrary (canonical or permuted) edge-index vectors.  One random
+        gather (el|feat concatenated) + one peer gather."""
+        ge = take_rows(el_feat_c, idx_self).astype(jnp.float32)
+        er_e = take_rows(er_c, idx_peer).astype(jnp.float32)
+        raw = ge[:, :H] + er_e
+        z = jnp.exp(_act_apply(raw, act, slope, clip))
+        actd = _act_deriv(raw, act, slope, clip)
+        return z, actd, ge[:, H:]
 
     def _fwd(feat_c2d, el_c, er_c, g):
-        from .seg_reduce import seg_sum_dst_pallas_raw
-
         infoS = g.compact_src
         infoD = g.compact_dst
         EP = g.num_padded_edges
         H = el_c.shape[1]
         HD = feat_c2d.shape[1]
         D = HD // H
-        raw = (
-            take_rows(el_c, infoS.edge_map)
-            + take_rows(er_c, infoD.edge_map)
-        ).astype(jnp.float32)
-        z = jnp.exp(_act_apply(raw, act, slope, clip))
-        feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
-        zf = (feat_e.reshape(EP, H, D) * z[..., None]).reshape(EP, HD)
-        pack_dt = (
-            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
+        pack_dt = _pack_dt(feat_c2d)
+        el_feat_c = jnp.concatenate([el_c, feat_c2d], axis=1)
+        z, _, feat_e = _edge_terms(
+            el_feat_c, er_c, infoS.edge_map, infoD.edge_map, H
         )
-        pad = -(H + HD) % 128
-        parts = [z.astype(pack_dt), zf.astype(pack_dt)]
-        if pad:
-            parts.append(jnp.zeros((EP, pad), pack_dt))
-        packed = jnp.concatenate(parts, axis=1)
-        agg = seg_sum_dst_pallas_raw(g, packed).astype(jnp.float32)
+        zf = _repeat_heads(z, D) * feat_e
+        agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
         return out.astype(feat_c2d.dtype), (s, out)
@@ -241,82 +269,58 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         return _fwd(feat_c2d, el_c, er_c, g)[0]
 
     def fwd_rule(feat_c2d, el_c, er_c, g):
-        # residuals hold NO (EP, H)-shaped arrays: a narrow-minor per-edge
-        # array is lane-padded 32x on TPU (H=4 -> 128), which at full-mag
-        # scale (21M edges) is ~10 GB each.  z / act' are recomputed in
-        # the backward from two compact-row gathers instead.
+        # residuals hold NO (EP, ...)-shaped arrays: per-edge terms are
+        # recomputed in the backward from compact-row gathers (at full-mag
+        # scale a single (EP, H) residual is tens of MB; recomputation is
+        # one fused gather pass)
         out_cast, (s, out) = _fwd(feat_c2d, el_c, er_c, g)
         return out_cast, (feat_c2d, el_c, er_c, s, out, g)
 
     def _bwd(res, ct):
-        from .seg_reduce import seg_sum_sorted_pallas_raw
-
         feat_c2d, el_c, er_c, s, out, g = res
         infoS = g.compact_src
         infoD = g.compact_dst
         EP = g.num_padded_edges
+        E = g.num_edges
         HD = feat_c2d.shape[1]
         H = el_c.shape[1]
         D = HD // H
-        n_guard = EP - g.num_edges
-        pack_dt = (
-            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
-        )
-        # z / act' recomputed from compact rows (see fwd_rule note)
-        raw = (
-            take_rows(el_c, infoS.edge_map)
-            + take_rows(er_c, infoD.edge_map)
-        ).astype(jnp.float32)
-        z = jnp.exp(_act_apply(raw, act, slope, clip))
-        actd = _act_deriv(raw, act, slope, clip)
-        feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
+        pack_dt = _pack_dt(feat_c2d)
+        el_feat_c = jnp.concatenate([el_c, feat_c2d], axis=1)
         ct = ct.astype(jnp.float32)
         ct2 = ct.reshape(-1, HD)
         t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
-        # one packed dst gather serves ct, s and t2 (pack_dt keeps the
-        # (EP, 128)-class buffer at half size under mixed precision)
-        ctpack = jnp.concatenate([ct2, s, t2], axis=1).astype(pack_dt)
-        cpe = gather_dst(g, ctpack)  # (EP, HD + 2H)
-        ctd = cpe[:, :HD].astype(jnp.float32).reshape(EP, H, D)
-        s_d = cpe[:, HD : HD + H].astype(jnp.float32)
-        t2d = cpe[:, HD + H :].astype(jnp.float32)
-        alpha = safe_div(z, s_d)
-        dfeat_e = (alpha[..., None] * ctd).reshape(EP, HD)
-        t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd, axis=-1)
-        draw = alpha * (t1 - t2d) * actd
-        # bf16 training: backward reduce payloads ride the single-pass
-        # bf16 kernel path too (grads are bf16-precision in mixed mode)
-        draw = draw.astype(pack_dt)
-        dfeat_e = dfeat_e.astype(pack_dt)
-        # destination side: canonical (dst, rel) runs — no permute
-        padD = 128 - H
-        valsD = jnp.concatenate(
-            [draw, jnp.zeros((EP, padD), pack_dt)], axis=1
-        )
-        n_runs = int(infoD.canon_ptr.shape[0]) - 1
-        redD = seg_sum_sorted_pallas_raw(
-            valsD,
-            infoD.canon_ptr,
-            n_runs,
-            n_guard,
-            tables=infoD.canon_tables,
-        )
-        from ..common import gather_nodes
+        ctpack = jnp.concatenate([ct2, s, t2], axis=1)  # (N, HD + 2H)
 
-        d_er_c = gather_nodes(redD, infoD.canon_to_row)[:, :H]
-        # source side: [d_el | d_feat] batched through one permuted kernel
-        padS = -(H + HD) % 128
-        partsS = [draw, dfeat_e]
-        if padS:
-            partsS.append(jnp.zeros((EP, padS), pack_dt))
-        payload = jnp.concatenate(partsS, axis=1)
-        vals_p = take_rows(payload, infoS.edge_sort_perm)
-        redS = seg_sum_sorted_pallas_raw(
-            vals_p,
-            infoS.edge_row_ptr,
-            infoS.seg.n_rows,
-            n_guard,
-            tables=infoS.edge_tables,
+        def payload(idx_self, idx_peer, idx_dst):
+            z, actd, feat_e = _edge_terms(
+                el_feat_c, er_c, idx_self, idx_peer, H
+            )
+            cpe = gather_nodes(ctpack, idx_dst).astype(jnp.float32)
+            ctd = cpe[:, :HD]
+            s_d = cpe[:, HD : HD + H]
+            t2d = cpe[:, HD + H :]
+            alpha = safe_div(z, s_d)
+            t1 = _head_sums(feat_e * ctd, H, D)
+            draw = alpha * (t1 - t2d) * actd
+            dfeat = _repeat_heads(alpha, D) * ctd
+            return draw, dfeat
+
+        # destination side: canonical (dst, rel) runs — no reorder at all
+        draw, _ = payload(infoS.edge_map, infoD.edge_map, g.dst)
+        n_runs = int(infoD.canon_ptr.shape[0]) - 1
+        redD = _packed_reduce(
+            [draw], H, pack_dt, infoD.canon_ptr, n_runs, EP, E,
+            infoD.canon_tables,
+        )
+        d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
+        # source side: recompute the payload directly in edge_sort_perm
+        # order (host-precomputed composed index vectors) — no permute
+        drawP, dfeatP = payload(
+            infoS.perm_self, infoS.perm_peer, infoS.perm_dst
+        )
+        redS = _sorted_compact_reduce(
+            infoS, [drawP, dfeatP], H + HD, pack_dt, EP, E
         )
         d_el_c = redS[:, :H].astype(el_c.dtype)
         d_feat_c = redS[:, H : H + HD].astype(feat_c2d.dtype)
@@ -336,30 +340,20 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
 
         out[v] = sum_e softmax_dst(act(raw_e))_e * feat_c[cmapS(e)]
 
-    Backward: d_feat_c reduces over ``edge_sort_perm`` into compact rows
-    (one sorted kernel call); d_raw is pure per-edge elementwise (no
-    reduction at all)."""
+    Backward: d_feat_c recomputes its payload in ``edge_sort_perm`` order
+    (one sorted folded kernel call); d_raw is pure per-edge elementwise."""
 
     def _fwd(feat_c2d, raw_e, g):
-        from .seg_reduce import seg_sum_dst_pallas_raw
-
         infoS = g.compact_src
         EP = g.num_padded_edges
         H = raw_e.shape[1]
         HD = feat_c2d.shape[1]
         D = HD // H
+        pack_dt = _pack_dt(feat_c2d)
         z = jnp.exp(_act_apply(raw_e.astype(jnp.float32), act, slope, clip))
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
-        zf = (feat_e.reshape(EP, H, D) * z[..., None]).reshape(EP, HD)
-        pack_dt = (
-            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
-        )
-        pad = -(H + HD) % 128
-        parts = [z.astype(pack_dt), zf.astype(pack_dt)]
-        if pad:
-            parts.append(jnp.zeros((EP, pad), pack_dt))
-        packed = jnp.concatenate(parts, axis=1)
-        agg = seg_sum_dst_pallas_raw(g, packed).astype(jnp.float32)
+        zf = _repeat_heads(z, D) * feat_e
+        agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
         return out.astype(feat_c2d.dtype), (s, out)
@@ -376,33 +370,34 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         feat_c2d, raw_e, s, out, g = res
         infoS = g.compact_src
         EP = g.num_padded_edges
+        E = g.num_edges
         HD = feat_c2d.shape[1]
         H = raw_e.shape[1]
         D = HD // H
+        pack_dt = _pack_dt(feat_c2d)
         z = jnp.exp(_act_apply(raw_e.astype(jnp.float32), act, slope, clip))
         actd = _act_deriv(raw_e.astype(jnp.float32), act, slope, clip)
         ct = ct.astype(jnp.float32)
         ct2 = ct.reshape(-1, HD)
         t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
         ctpack = jnp.concatenate([ct2, s, t2], axis=1)
-        cpe = gather_dst(g, ctpack)
-        ctd = cpe[:, :HD].reshape(EP, H, D)
+        cpe = gather_dst(g, ctpack)  # monotone
+        ctd = cpe[:, :HD]
         s_d = cpe[:, HD : HD + H]
         t2d = cpe[:, HD + H :]
         alpha = safe_div(z, s_d)
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
-        t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd, axis=-1)
+        t1 = _head_sums(feat_e * ctd, H, D)
         draw = alpha * (t1 - t2d) * actd  # (EP, H): pure elementwise
-        pack_dt = (
-            jnp.bfloat16 if feat_c2d.dtype == jnp.bfloat16 else jnp.float32
-        )
-        dfeat_e = (alpha[..., None] * ctd).reshape(EP, HD).astype(pack_dt)
-        pad = -HD % 128
-        if pad:
-            dfeat_e = jnp.concatenate(
-                [dfeat_e, jnp.zeros((EP, pad), pack_dt)], axis=1
-            )
-        red = _sorted_compact_reduce(infoS, dfeat_e, EP - g.num_edges)
+        # d_feat_c: recompute alpha*ctd in edge_sort_perm order.  raw_e is
+        # an opaque per-edge argument, so its permuted form needs one
+        # per-edge take (narrow, single pass).
+        rawP = take_rows(raw_e, infoS.edge_sort_perm).astype(jnp.float32)
+        zP = jnp.exp(_act_apply(rawP, act, slope, clip))
+        cpeP = gather_nodes(ctpack[:, : HD + H], infoS.perm_dst)
+        alphaP = safe_div(zP, cpeP[:, HD : HD + H])
+        dfeatP = _repeat_heads(alphaP, D) * cpeP[:, :HD]
+        red = _sorted_compact_reduce(infoS, [dfeatP], HD, pack_dt, EP, E)
         d_feat_c = red[:, :HD].astype(feat_c2d.dtype)
         return d_feat_c, draw.astype(raw_e.dtype), None
 
@@ -434,19 +429,11 @@ def _compact_weighted_agg_op(feat_c2d, w_e, g):
 
 
 def _cwa_fwd(feat_c2d, w_e, g):
-    from .seg_reduce import seg_sum_dst_pallas_raw
-
     infoS = g.compact_src
-    EP = g.num_padded_edges
     C = feat_c2d.shape[1]
     feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
     vals = feat_e * w_e.astype(jnp.float32)[:, None]
-    pad = -C % 128
-    if pad:
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((EP, pad), jnp.float32)], axis=1
-        )
-    agg = seg_sum_dst_pallas_raw(g, vals)  # padding edges dropped in-kernel
+    agg = _packed_reduce_dst(g, [vals], C, _pack_dt(feat_c2d))
     return agg[:, :C].astype(feat_c2d.dtype), (feat_c2d, w_e, g)
 
 
@@ -454,19 +441,20 @@ def _cwa_bwd(res, ct):
     feat_c2d, w_e, g = res
     infoS = g.compact_src
     EP = g.num_padded_edges
+    E = g.num_edges
     C = feat_c2d.shape[1]
     ct = ct.astype(jnp.float32)
-    ct_e = gather_dst(g, ct)  # (EP, C); zero at sentinel dst
-    payload = ct_e * w_e.astype(jnp.float32)[:, None]
-    pad = -C % 128
-    if pad:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((EP, pad), jnp.float32)], axis=1
-        )
-    red = _sorted_compact_reduce(infoS, payload, EP - g.num_edges)
-    d_feat_c = red[:, :C].astype(feat_c2d.dtype)
+    ct_e = gather_dst(g, ct)  # (EP, C) monotone; zero at sentinel dst
     feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
     d_w = jnp.sum(feat_e * ct_e, axis=-1).astype(w_e.dtype)
+    # d_feat_c: recompute ct_e * w in edge_sort_perm order
+    ctP = gather_nodes(ct, infoS.perm_dst)
+    wP = take_rows(w_e[:, None], infoS.edge_sort_perm)[:, 0]
+    payload = ctP.astype(jnp.float32) * wP.astype(jnp.float32)[:, None]
+    red = _sorted_compact_reduce(
+        infoS, [payload], C, _pack_dt(feat_c2d), EP, E
+    )
+    d_feat_c = red[:, :C].astype(feat_c2d.dtype)
     return d_feat_c, d_w, None
 
 
@@ -480,8 +468,8 @@ def compact_weighted_agg(g: HeteroGraph, feat_c: Array, w_e: Array) -> Array:
 
     feat_c (UCs, C) source-compact rows, w_e (EP,) per-edge scalar weight
     (e.g. the RGCN norm) -> (N, C).  Per-edge features exist only as the
-    fused gather feeding the one-hot reduce kernel; the backward reduces
-    cotangents straight into compact rows over ``edge_sort_perm`` — the TPU
+    fused gather feeding the folded one-hot reduce kernel; the backward
+    recomputes cotangent payloads in ``edge_sort_perm`` order — the TPU
     realization of the reference's ``rgcn_node_mean_aggregation_compact_
     as_of_node_separate_coo_single_sided``
     (hrt/python/backend/rgcn_layers_and_funcs.py:782)."""

@@ -372,6 +372,198 @@ def seg_sum_dst_pallas_raw(
     )
 
 
+# --------------------------- folded-payload variant
+#
+# For narrow payloads (C_useful << 128) the plain kernel wastes most of the
+# 128-lane row: the (EP, C)-padded buffer costs ~10x its useful bytes in HBM
+# traffic on BOTH the XLA producer side and the kernel DMA side.  The folded
+# layout packs k = 128 // Cp consecutive edges into each 128-lane row
+# (edge r*k + j owns lanes [j*Cp, (j+1)*Cp)), so a folded (EP/k, 128) buffer
+# carries the same payload in 1/k the bytes.  XLA emits folded buffers for
+# free: ``take(src, idx).reshape(EP//k, 128)`` fuses the fold into the
+# gather (measured: same cost as the unfolded gather).
+#
+# In-kernel, the one-hot reduction becomes k sub-dots per chunk — sub-dot j
+# selects edges at fold position j by range-comparing their EDGE index and
+# lane-masks the values to block j, so its contribution lands in lanes
+# [j*Cp, (j+1)*Cp) of the accumulator with no cross-block pollution.  Total
+# MXU cycles are identical to the unfolded kernel (cycles/edge = #passes,
+# independent of k); DMA drops by k.  The caller combines the k lane blocks
+# with one tiny node-space pass.
+
+FOLD_CHUNK = 128  # folded rows per DMA chunk
+FOLD_ALIGN = 16  # sublane alignment of the chunk start (bf16 tile height)
+
+
+def _make_folded_kernel(
+    nb: int, chunk: int, G: int, k: int, bf16_vals: bool,
+    interpret: bool = False,
+):
+    Cp = 128 // k
+    # on TPU the MXU accumulates bf16 products in f32 natively; the
+    # interpret-mode (CPU) dot accumulates in the operand dtype, so tests
+    # force f32 operands there to keep the reduction exact
+    op_dt = jnp.float32 if interpret else jnp.bfloat16
+
+    def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sems):
+        i = pl.program_id(0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        lane_blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1) // Cp
+        )
+
+        for j in range(G):
+            start = tptr_ref[i * G + j]  # edge units
+            end = tptr_ref[i * G + j + 1]
+            astart = (start // k // FOLD_ALIGN) * FOLD_ALIGN  # folded rows
+            fend = (end + k - 1) // k
+            n_chunks = (fend - astart + chunk - 1) // chunk
+            acc[...] = jnp.zeros_like(acc)
+
+            lower = lo_ref[j]  # (1, nb) edge units
+            upper = hi_ref[j]
+
+            def dma(c):
+                return pltpu.make_async_copy(
+                    vals_hbm.at[pl.ds(astart + c * chunk, chunk), :],
+                    vch.at[c % 2],
+                    sems.at[c % 2],
+                )
+
+            @pl.when(n_chunks > 0)
+            def _():
+                dma(0).start()
+
+            def body(c, _):
+                @pl.when(c + 1 < n_chunks)
+                def _():
+                    dma(c + 1).start()
+
+                dma(c).wait()
+                v = vch[c % 2]
+                if bf16_vals or interpret:
+                    parts = (v.astype(op_dt),)
+                else:
+                    v32 = v.astype(jnp.float32)
+                    v_hi = v32.astype(jnp.bfloat16)
+                    r1 = v32 - v_hi.astype(jnp.float32)
+                    v_mid = r1.astype(jnp.bfloat16)
+                    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    parts = (v_hi, v_mid, v_lo)
+                total = acc[...]
+                base = (row_iota + astart + c * chunk) * k  # (chunk, 1)
+                for jj in range(k):
+                    gidx = base + jj  # edge index at fold slot jj
+                    onehot = jnp.where(
+                        (gidx >= lower) & (gidx < upper), 1.0, 0.0
+                    ).astype(op_dt)  # (chunk, nb)
+                    blk = lane_blk == jj
+                    for part in parts:
+                        vm = jnp.where(blk, part, jnp.zeros_like(part))
+                        total = total + jax.lax.dot_general(
+                            onehot,
+                            vm,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            # interpret mode may execute on a real TPU
+                            # where default f32 dot precision rounds
+                            # operands to bf16
+                            precision=(
+                                jax.lax.Precision.HIGHEST
+                                if interpret
+                                else None
+                            ),
+                        )
+                acc[...] = total
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, body, 0)
+            out_ref[j * nb : (j + 1) * nb, :] = acc[...].astype(
+                out_ref.dtype
+            )
+
+    return kernel
+
+
+def seg_sum_sorted_folded_pallas_raw(
+    vals_folded: Array,
+    k: int,
+    row_ptr: Array,
+    N: int,
+    n_guard_rows: int,
+    *,
+    tables=None,
+    interpret: Optional[bool] = None,
+    nb: int = NB,
+    chunk: int = FOLD_CHUNK,
+) -> Array:
+    """Sum folded edge payloads into (N, Cp) rows over a sorted segmentation.
+
+    ``vals_folded`` is (EP // k, 128) with edge ``r*k + j`` on lanes
+    ``[j*Cp, (j+1)*Cp)`` of row ``r`` (Cp = 128 // k); ``row_ptr`` is the
+    (N+1,) EDGE-unit pointer of the segmentation; ``n_guard_rows`` = folded
+    rows past ``ceil(row_ptr[N]/k)`` safe to over-read.  Returns (N, Cp)
+    float32 (combined over the k lane blocks)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    assert 128 % k == 0 and k >= 1
+    Cp = 128 // k
+    EPf = vals_folded.shape[0]
+    assert vals_folded.shape[1] == 128
+    need_guard = chunk + FOLD_ALIGN
+    if n_guard_rows < need_guard:
+        vals_folded = jnp.concatenate(
+            [
+                vals_folded,
+                jnp.zeros(
+                    (need_guard - n_guard_rows, 128), vals_folded.dtype
+                ),
+            ],
+            axis=0,
+        )
+    tptr, lower, upper = _unpack_tables(tables, row_ptr, N, nb)
+    n_tiles = int(lower.shape[0])
+    G = SUPER if n_tiles >= SUPER else 1
+    assert n_tiles % max(G, 1) == 0 or n_tiles == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(max(n_tiles // max(G, 1), 1) if n_tiles else 0,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
+            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G * nb, 128), lambda i, tp: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), vals_folded.dtype),
+            pltpu.VMEM((nb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    bf16_vals = vals_folded.dtype == jnp.bfloat16
+    out = pl.pallas_call(
+        _make_folded_kernel(nb, chunk, G, k, bf16_vals, interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * EPf * k * nb * Cp,
+            bytes_accessed=EPf * 128 * 4 + N * Cp * 4,
+            transcendentals=0,
+        ),
+    )(tptr, vals_folded, lower, upper)
+    out = out[:N]
+    # combine the k disjoint lane blocks (one tiny node-space pass; the
+    # slice-adds are index maps XLA fuses with downstream consumers)
+    res = out[:, :Cp]
+    for jj in range(1, k):
+        res = res + out[:, jj * Cp : (jj + 1) * Cp]
+    return res
+
+
 @jax.custom_vjp
 def _seg_sum_core(vals2d: Array, g: HeteroGraph) -> Array:
     # dtype-stable (bf16 in -> bf16 out) so the custom-vjp cotangent
