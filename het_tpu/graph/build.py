@@ -360,16 +360,6 @@ def build_heterograph(
             canon_to_row=_i32(to_run),
             canon_tables=build_tile_tables(canon_ptr, runs_cap),
         )
-        # composed index vectors in edge_sort_perm order (CompactInfo
-        # perm_* docs): source-compact backward reductions recompute their
-        # payload in sorted order from these instead of permuting it
-        permS = np.asarray(compact_src.edge_sort_perm)
-        compact_src = dataclasses.replace(
-            compact_src,
-            perm_self=_i32(np.asarray(compact_src.edge_map)[permS]),
-            perm_peer=_i32(np.asarray(compact_dst.edge_map)[permS]),
-            perm_dst=_i32(p_dst[permS]),
-        )
 
     if rel_names is None:
         rel_names = tuple(f"rel{i}" for i in range(num_rels))

@@ -180,18 +180,6 @@ class CompactInfo:
     canon_to_row: Optional[Array] = None  # (seg.n_rows,)
     canon_tables: Optional[TileTables] = None
 
-    # -- source-side only: precomputed index vectors in edge_sort_perm
-    #    order.  Backward passes that reduce into source-compact rows need
-    #    their payload in that order; instead of permuting a per-edge
-    #    payload (a ~2.25 ms edge-space permute), they RECOMPUTE it there
-    #    from row gathers using these composed, host-built index vectors
-    #    (perm_self = edge_map[perm] — the rows of this side;
-    #    perm_peer = other side's edge_map[perm]; perm_dst = dst[perm],
-    #    sentinel num_nodes on padding slots). --
-    perm_self: Optional[Array] = None  # (EP,)
-    perm_peer: Optional[Array] = None  # (EP,)
-    perm_dst: Optional[Array] = None  # (EP,)
-
 
 _register(
     CompactInfo,
@@ -208,9 +196,6 @@ _register(
         "canon_ptr",
         "canon_to_row",
         "canon_tables",
-        "perm_self",
-        "perm_peer",
-        "perm_dst",
     ),
     meta_fields=(),
 )

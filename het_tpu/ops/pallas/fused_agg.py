@@ -17,18 +17,25 @@ MXU work on 1/k the DMA bytes (0.53 ms vs 2.0 ms f32 at mag scale, Cp=16).
 
 Gather cost model baked into the backward design (measured):
 
-* a RANDOM row gather costs ~0.55 ms at mag scale (HBM read-granule bound,
-  width- and dtype-independent below ~128 lanes);
+* a RANDOM row gather costs ~0.55-0.8 ms at mag scale in isolation (HBM
+  read-granule bound, width-independent below ~128 lanes);
 * a MONOTONE row gather (run expansion: ``er_c[edge_map_dst]``,
   ``ctpack[dst]`` — both non-decreasing in canonical order) streams its
   source and is several times cheaper;
-* an edge-space PERMUTE costs ~2.25 ms flat.
+* an edge-space PERMUTE costs ~2.1-2.5 ms flat (width-independent; bf16
+  narrow sources drop to ~0.35 ms once they fit on-chip).
 
-Therefore the backward never permutes a payload: the source-compact-side
-reduction *recomputes* its payload directly in ``edge_sort_perm`` order
-from row gathers over host-precomputed composed index vectors
-(``CompactInfo.perm_self/perm_peer/perm_dst``), and the destination-side
-reduction runs over canonical (dst, rel) runs which need no reorder at all.
+Design rule (measured END-TO-END, not from the isolated numbers above):
+the backward computes its payload ONCE in canonical order — where the
+``ctpack[dst]`` gather is monotone — then pays one flat edge-space permute
+into ``edge_sort_perm`` order for the source-compact reduction.  The
+alternative (recomputing the payload directly in permuted order from
+composed index vectors, so no permute) loses badly in the composed
+program: 16.0 ms vs 9.9 ms for the full compact-RGAT pullback at mag
+scale, because the permuted variant's three RANDOM gathers defeat XLA's
+fusion of the payload pass while the canonical variant's gathers stream.
+The destination-side reduction runs over canonical (dst, rel) runs which
+need no reorder at all.
 
 Backward math (no segment softmax derivative chains; with ``s`` = softmax
 denominators and ``out`` saved from the forward):
@@ -77,33 +84,45 @@ def _act_deriv(raw, act: str, slope: float, clip: Optional[float]):
 
 
 def _fold_width(c: int) -> int:
-    """Smallest 128-divisor lane-block width holding ``c`` payload lanes."""
-    for cp in (8, 16, 32, 64, 128):
+    """Smallest 128-divisor lane-block width >= 16 holding ``c`` payload
+    lanes.  The floor of 16 caps the fold factor at k=8: each extra fold
+    slot adds one one-hot sub-dot per chunk, and past k=8 the MXU cost of
+    the extra sub-dots on sparse segmentations (compact row_ptrs average a
+    few edges per row) outweighs the DMA saved (device sweep: k=16 is
+    1.7-3.5x slower than k=4-8 on canon/edge compact tables)."""
+    for cp in (16, 32, 64):
         if cp >= c:
             return cp
-    raise ValueError(f"payload too wide: {c}")
+    # no fold: the unfolded kernel takes any multiple of 128 lanes
+    return -(-c // 128) * 128
 
 
 def _pack_dt(x) -> jnp.dtype:
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 
-def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables):
-    """Concatenate ``parts`` (total C lanes) into the fold-packed per-edge
-    payload and segment-sum it over the sorted segmentation ``row_ptr``.
-    Returns (n_rows, >=C) float32."""
+def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables,
+                   perm=None):
+    """Concatenate ``parts`` (total C lanes, in canonical edge order) into
+    the fold-packed per-edge payload and segment-sum it over the sorted
+    segmentation ``row_ptr``.  ``perm`` (optional) permutes the packed
+    payload into the segmentation's edge order first — the pad lanes are
+    emitted by the same fused producer pass, so the permute moves the
+    final buffer once.  Returns (n_rows, >=C) float32."""
     from .seg_reduce import (
         seg_sum_sorted_folded_pallas_raw,
         seg_sum_sorted_pallas_raw,
     )
 
     Cp = _fold_width(C)
-    k = 128 // Cp
+    k = 128 // Cp if Cp <= 128 else 1
     pad = (Cp if k > 1 else -(-C // 128) * 128) - C
     ps = [p.astype(pack_dt) for p in parts]
     if pad:
         ps.append(jnp.zeros((EP, pad), pack_dt))
     packed = jnp.concatenate(ps, axis=1)
+    if perm is not None:
+        packed = take_rows(packed, perm)
     if k == 1:
         return seg_sum_sorted_pallas_raw(
             packed, row_ptr, n_rows, EP - E, tables=tables
@@ -214,11 +233,12 @@ def fused_softmax_agg(
 
 
 def _sorted_compact_reduce(info, parts, C, pack_dt, EP, E):
-    """Reduce per-edge payload parts (already in edge_sort_perm order) into
-    compact rows over the sorted ``edge_row_ptr`` segmentation."""
+    """Reduce canonical-order per-edge payload parts into compact rows:
+    one flat edge permute into ``edge_sort_perm`` order + the sorted
+    one-hot kernel over ``edge_row_ptr``."""
     return _packed_reduce(
         parts, C, pack_dt, info.edge_row_ptr, info.seg.n_rows, EP, E,
-        info.edge_tables,
+        info.edge_tables, perm=info.edge_sort_perm,
     )
 
 
@@ -292,35 +312,32 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
         ctpack = jnp.concatenate([ct2, s, t2], axis=1)  # (N, HD + 2H)
 
-        def payload(idx_self, idx_peer, idx_dst):
-            z, actd, feat_e = _edge_terms(
-                el_feat_c, er_c, idx_self, idx_peer, H
-            )
-            cpe = gather_nodes(ctpack, idx_dst).astype(jnp.float32)
-            ctd = cpe[:, :HD]
-            s_d = cpe[:, HD : HD + H]
-            t2d = cpe[:, HD + H :]
-            alpha = safe_div(z, s_d)
-            t1 = _head_sums(feat_e * ctd, H, D)
-            draw = alpha * (t1 - t2d) * actd
-            dfeat = _repeat_heads(alpha, D) * ctd
-            return draw, dfeat
+        # payload computed ONCE, in canonical order, where every gather
+        # either streams (ctpack[dst] is monotone) or reads a compact-row
+        # source (module docstring: the permuted-recompute alternative
+        # measured 16.0 vs 9.9 ms for this whole pullback)
+        z, actd, feat_e = _edge_terms(
+            el_feat_c, er_c, infoS.edge_map, infoD.edge_map, H
+        )
+        cpe = gather_dst(g, ctpack)  # monotone
+        ctd = cpe[:, :HD]
+        s_d = cpe[:, HD : HD + H]
+        t2d = cpe[:, HD + H :]
+        alpha = safe_div(z, s_d)
+        t1 = _head_sums(feat_e * ctd, H, D)
+        draw = alpha * (t1 - t2d) * actd
+        dfeat = _repeat_heads(alpha, D) * ctd
 
         # destination side: canonical (dst, rel) runs — no reorder at all
-        draw, _ = payload(infoS.edge_map, infoD.edge_map, g.dst)
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
         redD = _packed_reduce(
             [draw], H, pack_dt, infoD.canon_ptr, n_runs, EP, E,
             infoD.canon_tables,
         )
         d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
-        # source side: recompute the payload directly in edge_sort_perm
-        # order (host-precomputed composed index vectors) — no permute
-        drawP, dfeatP = payload(
-            infoS.perm_self, infoS.perm_peer, infoS.perm_dst
-        )
+        # source side: one flat permute of the packed payload
         redS = _sorted_compact_reduce(
-            infoS, [drawP, dfeatP], H + HD, pack_dt, EP, E
+            infoS, [draw, dfeat], H + HD, pack_dt, EP, E
         )
         d_el_c = redS[:, :H].astype(el_c.dtype)
         d_feat_c = redS[:, H : H + HD].astype(feat_c2d.dtype)
@@ -340,8 +357,9 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
 
         out[v] = sum_e softmax_dst(act(raw_e))_e * feat_c[cmapS(e)]
 
-    Backward: d_feat_c recomputes its payload in ``edge_sort_perm`` order
-    (one sorted folded kernel call); d_raw is pure per-edge elementwise."""
+    Backward: d_feat_c's canonical-order payload rides one flat permute
+    into ``edge_sort_perm`` order + the sorted one-hot kernel; d_raw is
+    pure per-edge elementwise."""
 
     def _fwd(feat_c2d, raw_e, g):
         infoS = g.compact_src
@@ -389,15 +407,10 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
         t1 = _head_sums(feat_e * ctd, H, D)
         draw = alpha * (t1 - t2d) * actd  # (EP, H): pure elementwise
-        # d_feat_c: recompute alpha*ctd in edge_sort_perm order.  raw_e is
-        # an opaque per-edge argument, so its permuted form needs one
-        # per-edge take (narrow, single pass).
-        rawP = take_rows(raw_e, infoS.edge_sort_perm).astype(jnp.float32)
-        zP = jnp.exp(_act_apply(rawP, act, slope, clip))
-        cpeP = gather_nodes(ctpack[:, : HD + H], infoS.perm_dst)
-        alphaP = safe_div(zP, cpeP[:, HD : HD + H])
-        dfeatP = _repeat_heads(alphaP, D) * cpeP[:, :HD]
-        red = _sorted_compact_reduce(infoS, [dfeatP], HD, pack_dt, EP, E)
+        # d_feat_c: canonical-order payload + one flat permute into
+        # edge_sort_perm order (module docstring design rule)
+        dfeat = _repeat_heads(alpha, D) * ctd
+        red = _sorted_compact_reduce(infoS, [dfeat], HD, pack_dt, EP, E)
         d_feat_c = red[:, :HD].astype(feat_c2d.dtype)
         return d_feat_c, draw.astype(raw_e.dtype), None
 
@@ -447,10 +460,9 @@ def _cwa_bwd(res, ct):
     ct_e = gather_dst(g, ct)  # (EP, C) monotone; zero at sentinel dst
     feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
     d_w = jnp.sum(feat_e * ct_e, axis=-1).astype(w_e.dtype)
-    # d_feat_c: recompute ct_e * w in edge_sort_perm order
-    ctP = gather_nodes(ct, infoS.perm_dst)
-    wP = take_rows(w_e[:, None], infoS.edge_sort_perm)[:, 0]
-    payload = ctP.astype(jnp.float32) * wP.astype(jnp.float32)[:, None]
+    # d_feat_c: canonical-order payload + one flat permute (module
+    # docstring design rule)
+    payload = ct_e * w_e.astype(jnp.float32)[:, None]
     red = _sorted_compact_reduce(
         infoS, [payload], C, _pack_dt(feat_c2d), EP, E
     )

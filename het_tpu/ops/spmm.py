@@ -217,7 +217,7 @@ def relational_fused_gat_compact(
     if (
         get_backend() == "pallas"
         and stable in (False, "raw", "clip")
-        and g.compact_src.perm_dst is not None
+        and g.compact_src.edge_sort_perm is not None
     ):
         from .pallas.fused_agg import fused_softmax_agg_compact
 
@@ -311,7 +311,7 @@ def hgt_softmax_weighted_agg_compact(
     if (
         get_backend() == "pallas"
         and stable in (False, "raw", "clip")
-        and g.compact_src.perm_dst is not None
+        and g.compact_src.edge_sort_perm is not None
     ):
         from .pallas.fused_agg import fused_softmax_agg_src_compact
 
@@ -403,7 +403,7 @@ def rgcn_aggregate_compact(
     direct-index compact resolution (kernel_enums.h:100-119)."""
     from . import get_backend
 
-    if get_backend() == "pallas" and g.compact_src.perm_dst is not None:
+    if get_backend() == "pallas" and g.compact_src.edge_sort_perm is not None:
         from .pallas.fused_agg import compact_weighted_agg
 
         return compact_weighted_agg(g, feat_c, norm_e)
