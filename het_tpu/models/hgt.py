@@ -140,12 +140,12 @@ class HGTLayer(nn.Module):
             # scored single-sided from compact rows, and the message
             # transform v·W_msg once per unique (rel, src), aggregated
             # straight from compact rows (reference models.py:255 under
-            # the compact flag)
+            # the compact flag).  Score + softmax + aggregation run as one
+            # fused op on the pallas backend (ops.hgt_compact_attention).
             att_q_c = ops.compact_typed_linear(g, q, rel_att, side="dst")
-            score = ops.compact_dst_inner(g, att_q_c, k)
             message_c = ops.compact_typed_linear(g, v, rel_msg, side="src")
-            new_h = ops.hgt_softmax_weighted_agg_compact(
-                g, message_c, score, mu, stable=self.stable_softmax
+            new_h = ops.hgt_compact_attention(
+                g, message_c, att_q_c, k, mu, stable=self.stable_softmax
             )
         else:
             att_q_e = ops.edge_typed_linear(g, q, rel_att, side="dst")

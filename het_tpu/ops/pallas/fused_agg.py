@@ -418,6 +418,172 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
     return op
 
 
+@functools.lru_cache(maxsize=None)
+def _make_hgt_compact_attention_op(clip: Optional[float]):
+    """Fully-fused HGT compact attention: score SDDMM + typed softmax +
+    single-sided compact aggregation in ONE custom-VJP op.
+
+    The TPU counterpart of the reference's fused pair
+    ``hgt_full_graph_hetero_attention_ops_coo`` (k·W_att·q score,
+    hrt/include/DGLHackKernel/OpExport/HGTOpsEdgeParallel.inc.h:384) +
+    ``hgt_full_graph_fused_message_calc_and_mean_aggregation_separate_coo``
+    (…:391).  Fusing the chain matters beyond kernel counts: per-edge
+    (EP, H) tensors crossing custom-VJP op boundaries get narrow
+    column-major layouts from XLA and every boundary inserts physical
+    layout copies — the unfused compact chain measured 18.0 ms fwd+bwd at
+    mag scale (score op 7.6 + aggregation op 10.4) where this op's math
+    is worth ~7 ms.  Inside one op, score/raw/z never materialize outside
+    a fusion region.
+
+        score_e[h] = <attq_c[cmapD(e), h, :], k[src(e), h, :]>
+        out[v]     = sum_e softmax_dst(clip(score_e * mu[rel_e]))_e
+                     * msg_c[cmapS(e)]
+    """
+
+    def _score_terms(attq2d, k2d, mu, g, H, dk):
+        attq_e = take_rows(attq2d, g.compact_dst.edge_map).astype(
+            jnp.float32
+        )  # piecewise-constant over (dst, rel) runs
+        k_e = gather_nodes(k2d, g.src).astype(jnp.float32)  # random
+        score = _head_sums(attq_e * k_e, H, dk)
+        mu_e = take_rows(mu, g.rel).astype(jnp.float32)
+        raw = score * mu_e
+        z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
+        return attq_e, k_e, score, mu_e, raw, z
+
+    def _fwd(msg2d, attq2d, k2d, mu, g):
+        H = mu.shape[1]
+        Hdk = msg2d.shape[1]
+        dk = Hdk // H
+        pack_dt = _pack_dt(msg2d)
+        *_, z = _score_terms(attq2d, k2d, mu, g, H, dk)
+        feat_e = take_rows(msg2d, g.compact_src.edge_map).astype(
+            jnp.float32
+        )
+        zf = _repeat_heads(z, dk) * feat_e
+        agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
+        s, num = agg[:, :H], agg[:, H : H + Hdk]
+        out = safe_div(num.reshape(-1, H, dk), s[..., None])
+        return out.astype(msg2d.dtype), (s, out)
+
+    @jax.custom_vjp
+    def op(msg2d, attq2d, k2d, mu, g):
+        return _fwd(msg2d, attq2d, k2d, mu, g)[0]
+
+    def fwd_rule(msg2d, attq2d, k2d, mu, g):
+        out_cast, (s, out) = _fwd(msg2d, attq2d, k2d, mu, g)
+        # no (EP, ...) residuals: the score chain is recomputed in the
+        # backward from node/compact-row gathers
+        return out_cast, (msg2d, attq2d, k2d, mu, s, out, g)
+
+    def _bwd(res, ct):
+        msg2d, attq2d, k2d, mu, s, out, g = res
+        infoS = g.compact_src
+        infoD = g.compact_dst
+        EP = g.num_padded_edges
+        E = g.num_edges
+        H = mu.shape[1]
+        Hdk = msg2d.shape[1]
+        dk = Hdk // H
+        R = mu.shape[0]
+        pack_dt = _pack_dt(msg2d)
+        attq_e, k_e, score, mu_e, raw, z = _score_terms(
+            attq2d, k2d, mu, g, H, dk
+        )
+        feat_e = take_rows(msg2d, infoS.edge_map).astype(jnp.float32)
+        ct = ct.astype(jnp.float32)
+        ct2 = ct.reshape(-1, Hdk)
+        t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
+        cpe = gather_dst(g, jnp.concatenate([ct2, s, t2], axis=1))
+        ctd = cpe[:, :Hdk]
+        s_d = cpe[:, Hdk : Hdk + H]
+        t2d = cpe[:, Hdk + H :]
+        alpha = safe_div(z, s_d)  # 0 on padding edges (s_d = 0)
+        t1 = _head_sums(feat_e * ctd, H, dk)
+        draw = (
+            alpha
+            * (t1 - t2d)
+            * _act_deriv(raw, "identity", 0.0, clip)
+        )  # (EP, H), d wrt raw = score * mu_e
+        dscore = draw * mu_e
+        # d_mu[r] = sum_{rel(e)=r} draw * score — R is small, so one MXU
+        # one-hot contraction (padding edges have draw = 0)
+        rel_onehot = (
+            g.rel[:, None] == jnp.arange(R, dtype=g.rel.dtype)[None, :]
+        ).astype(jnp.float32)
+        d_mu = jax.lax.dot_general(
+            rel_onehot, draw * score,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # R is tiny; exact f32 (default TPU precision rounds the
+            # operands to bf16, costing ~1e-3 relative on d_mu)
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # d_msg_c AND the per-edge half of d_k ride ONE permuted reduce:
+        # source-compact rows group edges by (rel, src), so summing the
+        # d_k payload per compact row first and then reducing rows into
+        # nodes replaces a second full edge permute (g.out_perm) with a
+        # compact-row-scale one (UCs rows, ~2.4x fewer)
+        dfeat = _repeat_heads(alpha, dk) * ctd
+        dsa = _repeat_heads(dscore, dk) * attq_e
+        redS = _sorted_compact_reduce(
+            infoS, [dfeat, dsa], 2 * Hdk, pack_dt, EP, E
+        )
+        d_msg = redS[:, :Hdk].astype(msg2d.dtype)
+        row_dsa = redS[:, Hdk : 2 * Hdk]  # (n_rows, Hdk) per-compact-row
+        from .seg_reduce import seg_sum_sorted_pallas_raw
+
+        valsN = take_rows(row_dsa, infoS.node_sort_perm)
+        Nsrc = infoS.node_row_ptr.shape[0] - 1
+        d_k = seg_sum_sorted_pallas_raw(
+            valsN,
+            infoS.node_row_ptr,
+            Nsrc,
+            infoS.seg.n_rows - infoS.seg.n_src,
+            tables=infoS.node_tables,
+        )[:, :Hdk].astype(k2d.dtype)
+        # d_attq_c: reduce dscore ⊗ k_e over canonical (dst, rel) runs
+        dsk = _repeat_heads(dscore, dk) * k_e
+        n_runs = int(infoD.canon_ptr.shape[0]) - 1
+        redD = _packed_reduce(
+            [dsk], Hdk, pack_dt, infoD.canon_ptr, n_runs, EP, E,
+            infoD.canon_tables,
+        )
+        d_attq = gather_nodes(redD[:, :Hdk], infoD.canon_to_row).astype(
+            attq2d.dtype
+        )
+        return d_msg, d_attq, d_k, d_mu.astype(mu.dtype), None
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def hgt_fused_compact_attention(
+    g: HeteroGraph,
+    msg_c: Array,
+    attq_c: Array,
+    k_nodes: Array,
+    mu: Array,
+    *,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable fully-fused HGT compact attention chain.
+
+    msg_c (UCs, H, dk) source-compact messages; attq_c (UCd, H, dk)
+    destination-compact attn·q rows; k_nodes (src_space, H, dk); mu (R, H)
+    = relation_pri / sqrt(dk).  Returns (N, H, dk)."""
+    UCs, H, dk = msg_c.shape
+    op = _make_hgt_compact_attention_op(clip)
+    out = op(
+        msg_c.reshape(UCs, H * dk),
+        attq_c.reshape(attq_c.shape[0], H * dk),
+        k_nodes.reshape(k_nodes.shape[0], H * dk),
+        mu,
+        g,
+    )
+    return out
+
+
 def fused_softmax_agg_src_compact(
     g: HeteroGraph,
     feat_c: Array,
