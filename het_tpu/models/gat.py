@@ -44,11 +44,10 @@ class GATLayer(nn.Module):
         feat = (x @ w).reshape(g.num_nodes, H, D)  # dense: single relation
         el = jnp.einsum("nhd,hd->nh", feat, attn_l)
         er = jnp.einsum("nhd,hd->nh", feat, attn_r)
-        feat_src_e = ops.gather_src(g, feat)
-        el_e = ops.gather_src(g, el)
-        er_e = ops.gather_dst(g, er)
-        h = ops.relational_fused_gat(
-            g, feat_src_e, el_e, er_e, self.leaky_relu_slope
+        # node-level fused aggregation: per-edge features never materialize
+        # outside the reduce producers (ops.gat_node_fused)
+        h = ops.gat_node_fused(
+            g, feat, el, er, self.leaky_relu_slope
         )  # (N, H, D)
         if self.residual:
             if self.in_feat == H * D:

@@ -28,6 +28,7 @@ from .linear import (  # noqa: F401
 from .spmm import (  # noqa: F401
     edge_softmax,
     edge_softmax_weighted_sum,
+    gat_node_fused,
     hgt_compact_attention,
     hgt_edge_softmax,
     hgt_softmax_weighted_agg,

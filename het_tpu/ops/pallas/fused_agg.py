@@ -419,6 +419,125 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
 
 
 @functools.lru_cache(maxsize=None)
+def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
+    """Node-sided fused GAT: features AND logits live on node rows — the
+    homogeneous special case (reference ``fused_gat_csr``,
+    GAT/FusedGAT.cu.h:8-21), where "compact (rel, node) rows" degenerate to
+    plain nodes, so the source-side reduction rides the graph's src-CSR
+    (``out_perm``/``out_row_ptr``) instead of compact metadata.
+
+        out[v] = sum_e softmax_dst(act(el[src(e)] + er[dst(e)]))_e
+                 * feat[src(e)]
+
+    Per-edge features exist only as fused-gather emits feeding the reduce
+    kernels; for GAT's wide payloads (H*D = 256 at the bench config) this
+    removes the (EP, H*D) gather materialization and its backward scatter
+    (measured 9.4 ms fwd+bwd alone at mag scale) from the layer.  The wide
+    ``zf`` block and the narrow ``z`` block reduce in separate kernel
+    calls: splitting avoids padding 256-lane payloads to 384."""
+
+    def _edge_z(el, er, g):
+        # gather_nodes: padding edges (src == src_space sentinel) read the
+        # zero row -> z = 1, finite; the kernels' range compares drop them.
+        # el gathers SEPARATELY from feat: a fused [el | feat] gather
+        # measured 4.5 ms vs 3.6 for split gathers at GAT widths (the
+        # narrow z chain blocks fusion of the wide gather otherwise)
+        el_e = gather_nodes(el, g.src).astype(jnp.float32)
+        er_e = gather_dst(g, er).astype(jnp.float32)  # monotone
+        raw = el_e + er_e
+        z = jnp.exp(_act_apply(raw, act, slope, clip))
+        actd = _act_deriv(raw, act, slope, clip)
+        return z, actd
+
+    def _fwd(feat2d, el, er, g):
+        EP = g.num_padded_edges
+        H = el.shape[1]
+        HD = feat2d.shape[1]
+        D = HD // H
+        pack_dt = _pack_dt(feat2d)
+        z, _ = _edge_z(el, er, g)
+        feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
+        zf = (z[..., None] * feat_e.reshape(EP, H, D)).reshape(EP, HD)
+        # z (narrow -> folded) and zf (multiple-of-128 -> exact) reduce
+        # separately; one 384-lane call would move 1.5x the bytes
+        s = _packed_reduce_dst(g, [z], H, pack_dt)[:, :H]
+        num = _packed_reduce_dst(g, [zf], HD, pack_dt)[:, :HD]
+        out = safe_div(num.reshape(-1, H, D), s[..., None])
+        return out.astype(feat2d.dtype), (s, out)
+
+    @jax.custom_vjp
+    def op(feat2d, el, er, g):
+        return _fwd(feat2d, el, er, g)[0]
+
+    def fwd_rule(feat2d, el, er, g):
+        out_cast, (s, out) = _fwd(feat2d, el, er, g)
+        return out_cast, (feat2d, el, er, s, out, g)
+
+    def _bwd(res, ct):
+        feat2d, el, er, s, out, g = res
+        EP = g.num_padded_edges
+        E = g.num_edges
+        HD = feat2d.shape[1]
+        H = el.shape[1]
+        D = HD // H
+        pack_dt = _pack_dt(feat2d)
+        z, actd = _edge_z(el, er, g)
+        feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
+        ct = ct.astype(jnp.float32)
+        ct2 = ct.reshape(-1, HD)
+        t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
+        ctd = gather_dst(g, ct2)  # wide monotone
+        cpe = gather_dst(g, jnp.concatenate([s, t2], axis=1))  # narrow
+        s_d = cpe[:, :H]
+        t2d = cpe[:, H:]
+        alpha = safe_div(z, s_d)
+        ctd3 = ctd.reshape(EP, H, D)
+        t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd3, axis=-1)
+        draw = alpha * (t1 - t2d) * actd
+        dfeat = (alpha[..., None] * ctd3).reshape(EP, HD)
+        # d_er: canonical (dst-sorted) narrow folded reduce
+        d_er = _packed_reduce_dst(g, [draw], H, pack_dt)[:, :H]
+        # d_el | d_feat: one flat permute into src-CSR order; wide zf-class
+        # payload and narrow draw ride separate kernels (pad rule above)
+        d_feat = _packed_reduce(
+            [dfeat], HD, pack_dt, g.out_row_ptr, g.src_space, EP, E,
+            g.out_tables, perm=g.out_perm,
+        )[:, :HD]
+        d_el = _packed_reduce(
+            [draw], H, pack_dt, g.out_row_ptr, g.src_space, EP, E,
+            g.out_tables, perm=g.out_perm,
+        )[:, :H]
+        return (
+            d_feat.astype(feat2d.dtype),
+            d_el.astype(el.dtype),
+            d_er.astype(er.dtype),
+            None,
+        )
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def fused_gat_nodes(
+    g: HeteroGraph,
+    feat: Array,
+    el: Array,
+    er: Array,
+    *,
+    act: str = "leaky_relu",
+    slope: float = 0.2,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable node-sided fused GAT aggregation.
+
+    feat (src_space, H, D), el (src_space, H), er (N, H) -> (N, H, D)."""
+    ns, H, D = feat.shape
+    op = _make_node_fused_op(act, float(slope), clip)
+    out = op(feat.reshape(ns, H * D), el, er, g)
+    return out.reshape(g.num_nodes, H, D)
+
+
+@functools.lru_cache(maxsize=None)
 def _make_hgt_compact_attention_op(clip: Optional[float]):
     """Fully-fused HGT compact attention: score SDDMM + typed softmax +
     single-sided compact aggregation in ONE custom-VJP op.

@@ -195,6 +195,37 @@ def relational_fused_gat(
     return scatter_sum_dst(g, feat_src_e * alpha[..., None])
 
 
+def gat_node_fused(
+    g: HeteroGraph,
+    feat: Array,
+    el: Array,
+    er: Array,
+    slope: float,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Homogeneous fused GAT with NODE-level inputs: feat (src_space, H, D),
+    el (src_space, H), er (N, H) -> (N, H, D).  On the pallas backend the
+    per-edge feature expansion never materializes outside the reduce
+    producers (the (EP, H*D) gather + its backward scatter measured 9.4 ms
+    alone at GAT's 256-lane width).  Reference: ``fused_gat_csr``
+    (GAT/FusedGAT.cu.h:8-21, GATOps.inc.h:130-135)."""
+    from . import get_backend
+    from .common import gather_dst, gather_src
+
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import fused_gat_nodes
+
+        return fused_gat_nodes(
+            g, feat, el, er, act="leaky_relu", slope=slope,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    return relational_fused_gat(
+        g, gather_src(g, feat), gather_src(g, el), gather_dst(g, er),
+        slope, stable=stable,
+    )
+
+
 def relational_fused_gat_compact(
     g: HeteroGraph,
     feat_c: Array,
