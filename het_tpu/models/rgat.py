@@ -33,6 +33,12 @@ from ..graph.structures import HeteroGraph
 
 Array = jax.Array
 
+# compact-row count above which the multiply_first path switches to the
+# packed-operand fused op (memory form): below it the split form is
+# faster; above it separate narrow compact arrays dominate HBM (each is
+# n_rows x 128 lanes regardless of width)
+PACKED_COMPACT_ROWS = 1_000_000
+
 
 class RGATLayer(nn.Module):
     in_feat: int
@@ -86,17 +92,38 @@ class RGATLayer(nn.Module):
                 # el = x · (W·a): skip materializing per-(rel,node)
                 # features for the logit, and ride the SAME segment matmul
                 # as the feature projection (concatenated output columns —
-                # one row gather + one MXU pass instead of two)
+                # one row gather + one MXU pass instead of two).  The
+                # packed [el | feat] buffer flows INTO the fused op and
+                # its gradient flows OUT of it without ever splitting
+                # (ops.relational_fused_gat_compact_packed) — separate
+                # narrow compact arrays cost a full 128-lane HBM row each.
                 wa_l = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_l)
                 wa_r = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_r)
                 w_cat = jnp.concatenate(
-                    [conv_w, wa_l[..., None]], axis=-1
-                )  # (R, H, K, D+1)
+                    [wa_l[..., None], conv_w], axis=-1
+                )  # (R, H, K, 1+D)
                 fe = ops.compact_typed_linear(g, x, w_cat, side="src")
-                feat_c_src, el_c = fe[..., :D], fe[..., D]
                 er_c = ops.compact_typed_linear(
                     g, x_dst, wa_r[..., None], side="dst"
                 )[..., 0]
+                if g.compact_src.seg.n_rows >= PACKED_COMPACT_ROWS:
+                    # memory form: the packed buffer flows through the op
+                    # and its gradient comes back packed — no separate
+                    # narrow compact arrays (each costs a full 128-lane
+                    # HBM row per compact row: 1.5-3 GB apiece at full-mag
+                    # scale; this is what fits 21M edges on one chip).
+                    # Measured ~4.7 ms slower at sample scale (the
+                    # interleaved-lane forms fuse worse), hence the
+                    # size-gated auto-select.
+                    h = ops.relational_fused_gat_compact_packed(
+                        g, fe, er_c, self.leaky_relu_slope,
+                        stable=self.stable_softmax,
+                    )
+                else:
+                    h = ops.relational_fused_gat_compact(
+                        g, fe[..., 1:], fe[..., 0], er_c,
+                        self.leaky_relu_slope, stable=self.stable_softmax,
+                    )
             else:
                 feat_c_src = ops.compact_typed_linear(
                     g, x, conv_w, side="src"
@@ -112,10 +139,10 @@ class RGATLayer(nn.Module):
                     feat_c_dst,
                     jnp.take(attn_r, g.compact_dst.seg.row_seg, axis=0),
                 )
-            h = ops.relational_fused_gat_compact(
-                g, feat_c_src, el_c, er_c, self.leaky_relu_slope,
-                stable=self.stable_softmax,
-            )
+                h = ops.relational_fused_gat_compact(
+                    g, feat_c_src, el_c, er_c, self.leaky_relu_slope,
+                    stable=self.stable_softmax,
+                )
         else:
             rel_e = g.rel
             if self.multiply_first:

@@ -36,6 +36,7 @@ from .spmm import (  # noqa: F401
     inner_product_edge_node,
     relational_fused_gat,
     relational_fused_gat_compact,
+    relational_fused_gat_compact_packed,
     rgcn_aggregate,
     rgcn_aggregate_compact,
     rgcn_layer0,

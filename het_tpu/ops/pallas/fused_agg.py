@@ -102,7 +102,7 @@ def _pack_dt(x) -> jnp.dtype:
 
 
 def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables,
-                   perm=None):
+                   perm=None, out_dt=None):
     """Concatenate ``parts`` (total C lanes, in canonical edge order) into
     the fold-packed per-edge payload and segment-sum it over the sorted
     segmentation ``row_ptr``.  ``perm`` (optional) permutes the packed
@@ -124,13 +124,15 @@ def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables,
     if perm is not None:
         packed = take_rows(packed, perm)
     if k == 1:
-        return seg_sum_sorted_pallas_raw(
-            packed, row_ptr, n_rows, EP - E, tables=tables
-        ).astype(jnp.float32)
+        out = seg_sum_sorted_pallas_raw(
+            packed, row_ptr, n_rows, EP - E, tables=tables,
+            out_dtype=out_dt,
+        )
+        return out if out_dt is not None else out.astype(jnp.float32)
     packed = packed.reshape(EP // k, 128)
     return seg_sum_sorted_folded_pallas_raw(
         packed, k, row_ptr, n_rows, EP // k - (E + k - 1) // k,
-        tables=tables,
+        tables=tables, out_dtype=out_dt,
     )
 
 
@@ -232,13 +234,13 @@ def fused_softmax_agg(
 # --------------------------- compact (single-sided) fused aggregation
 
 
-def _sorted_compact_reduce(info, parts, C, pack_dt, EP, E):
+def _sorted_compact_reduce(info, parts, C, pack_dt, EP, E, out_dt=None):
     """Reduce canonical-order per-edge payload parts into compact rows:
     one flat edge permute into ``edge_sort_perm`` order + the sorted
     one-hot kernel over ``edge_row_ptr``."""
     return _packed_reduce(
         parts, C, pack_dt, info.edge_row_ptr, info.seg.n_rows, EP, E,
-        info.edge_tables, perm=info.edge_sort_perm,
+        info.edge_tables, perm=info.edge_sort_perm, out_dt=out_dt,
     )
 
 
@@ -332,12 +334,12 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
         redD = _packed_reduce(
             [draw], H, pack_dt, infoD.canon_ptr, n_runs, EP, E,
-            infoD.canon_tables,
+            infoD.canon_tables, out_dt=pack_dt,
         )
         d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
         # source side: one flat permute of the packed payload
         redS = _sorted_compact_reduce(
-            infoS, [draw, dfeat], H + HD, pack_dt, EP, E
+            infoS, [draw, dfeat], H + HD, pack_dt, EP, E, out_dt=pack_dt
         )
         d_el_c = redS[:, :H].astype(el_c.dtype)
         d_feat_c = redS[:, H : H + HD].astype(feat_c2d.dtype)
@@ -410,12 +412,126 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         # d_feat_c: canonical-order payload + one flat permute into
         # edge_sort_perm order (module docstring design rule)
         dfeat = _repeat_heads(alpha, D) * ctd
-        red = _sorted_compact_reduce(infoS, [dfeat], HD, pack_dt, EP, E)
+        red = _sorted_compact_reduce(
+            infoS, [dfeat], HD, pack_dt, EP, E, out_dt=pack_dt
+        )
         d_feat_c = red[:, :HD].astype(feat_c2d.dtype)
         return d_feat_c, draw.astype(raw_e.dtype), None
 
     op.defvjp(fwd_rule, _bwd)
     return op
+
+
+@functools.lru_cache(maxsize=None)
+def _make_compact_fused_packed_op(
+    act: str, slope: float, clip: Optional[float]
+):
+    """Packed-operand form of the compact fused op: the source-side operand
+    is the raw output of the FUSED feature+logit projection — one
+    (UC, H, 1+D) buffer with per-head lanes ``[el, feat_0..feat_{D-1}]`` —
+    instead of separate ``el_c``/``feat_c`` arrays.
+
+    Why a separate form exists: narrow arrays pay the TPU's (8, 128) tile
+    layout in full — a (UC, H) f32 buffer occupies UC x 512 bytes of HBM
+    regardless of H.  At full-mag scale (6.2M compact rows) every separate
+    narrow compact array is a 1.5-3 GB allocation; the packed form keeps
+    ONE buffer end-to-end (the gradient leaves the backward reduce already
+    in the packed layout), which is what lets the 21M-edge single-chip run
+    fit.  Numerics are identical to the unpacked op."""
+
+    def _fwd(fe2d, er_c, g):
+        infoS = g.compact_src
+        infoD = g.compact_dst
+        EP = g.num_padded_edges
+        H = er_c.shape[1]
+        D1 = fe2d.shape[1] // H  # 1 + D
+        D = D1 - 1
+        HD = H * D
+        pack_dt = _pack_dt(fe2d)
+        ge = take_rows(fe2d, infoS.edge_map).astype(jnp.float32)
+        ge3 = ge.reshape(EP, H, D1)
+        er_e = take_rows(er_c, infoD.edge_map).astype(jnp.float32)
+        raw = ge3[..., 0] + er_e
+        z = jnp.exp(_act_apply(raw, act, slope, clip))
+        zf = (z[..., None] * ge3[..., 1:]).reshape(EP, HD)
+        agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
+        s, num = agg[:, :H], agg[:, H : H + HD]
+        out = safe_div(num.reshape(-1, H, D), s[..., None])
+        return out.astype(fe2d.dtype), (s, out)
+
+    @jax.custom_vjp
+    def op(fe2d, er_c, g):
+        return _fwd(fe2d, er_c, g)[0]
+
+    def fwd_rule(fe2d, er_c, g):
+        out_cast, (s, out) = _fwd(fe2d, er_c, g)
+        return out_cast, (fe2d, er_c, s, out, g)
+
+    def _bwd(res, ct):
+        fe2d, er_c, s, out, g = res
+        infoS = g.compact_src
+        infoD = g.compact_dst
+        EP = g.num_padded_edges
+        E = g.num_edges
+        H = er_c.shape[1]
+        D1 = fe2d.shape[1] // H
+        D = D1 - 1
+        HD = H * D
+        pack_dt = _pack_dt(fe2d)
+        ge = take_rows(fe2d, infoS.edge_map).astype(jnp.float32)
+        ge3 = ge.reshape(EP, H, D1)
+        er_e = take_rows(er_c, infoD.edge_map).astype(jnp.float32)
+        raw = ge3[..., 0] + er_e
+        z = jnp.exp(_act_apply(raw, act, slope, clip))
+        actd = _act_deriv(raw, act, slope, clip)
+        ct = ct.astype(jnp.float32)
+        ct2 = ct.reshape(-1, HD)
+        t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
+        cpe = gather_dst(g, jnp.concatenate([ct2, s, t2], axis=1))
+        ctd3 = cpe[:, :HD].reshape(EP, H, D)
+        s_d = cpe[:, HD : HD + H]
+        t2d = cpe[:, HD + H :]
+        alpha = safe_div(z, s_d)
+        t1 = jnp.sum(ge3[..., 1:] * ctd3, axis=-1)
+        draw = alpha * (t1 - t2d) * actd  # (EP, H)
+        # src-side payload IN THE PACKED LAYOUT: per-head [draw | dfeat]
+        # lanes — the reduce emits d_fe directly, no reassembly pass
+        pay3 = jnp.concatenate(
+            [draw[..., None], alpha[..., None] * ctd3], axis=-1
+        ).reshape(EP, H * D1)
+        redS = _sorted_compact_reduce(
+            infoS, [pay3], H * D1, pack_dt, EP, E, out_dt=pack_dt
+        )
+        d_fe = redS[:, : H * D1].astype(fe2d.dtype)
+        # dst side: canonical (dst, rel) runs
+        n_runs = int(infoD.canon_ptr.shape[0]) - 1
+        redD = _packed_reduce(
+            [draw], H, pack_dt, infoD.canon_ptr, n_runs, EP, E,
+            infoD.canon_tables, out_dt=pack_dt,
+        )
+        d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
+        return d_fe, d_er_c.astype(er_c.dtype), None
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def fused_softmax_agg_compact_packed(
+    g: HeteroGraph,
+    fe: Array,
+    er_c: Array,
+    *,
+    act: str = "leaky_relu",
+    slope: float = 0.2,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable compact fused softmax aggregation over the PACKED
+    projection output.  fe (UCs, H, 1+D) with per-head lanes
+    ``[el, feat...]``; er_c (UCd, H).  Returns (N, H, D)."""
+    UC, H, D1 = fe.shape
+    op = _make_compact_fused_packed_op(act, float(slope), clip)
+    out = op(fe.reshape(UC, H * D1), er_c, g)
+    return out.reshape(g.num_nodes, H, D1 - 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -501,11 +617,11 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
         # payload and narrow draw ride separate kernels (pad rule above)
         d_feat = _packed_reduce(
             [dfeat], HD, pack_dt, g.out_row_ptr, g.src_space, EP, E,
-            g.out_tables, perm=g.out_perm,
+            g.out_tables, perm=g.out_perm, out_dt=pack_dt,
         )[:, :HD]
         d_el = _packed_reduce(
             [draw], H, pack_dt, g.out_row_ptr, g.src_space, EP, E,
-            g.out_tables, perm=g.out_perm,
+            g.out_tables, perm=g.out_perm, out_dt=pack_dt,
         )[:, :H]
         return (
             d_feat.astype(feat2d.dtype),
@@ -646,7 +762,7 @@ def _make_hgt_compact_attention_op(clip: Optional[float]):
         dfeat = _repeat_heads(alpha, dk) * ctd
         dsa = _repeat_heads(dscore, dk) * attq_e
         redS = _sorted_compact_reduce(
-            infoS, [dfeat, dsa], 2 * Hdk, pack_dt, EP, E
+            infoS, [dfeat, dsa], 2 * Hdk, pack_dt, EP, E, out_dt=pack_dt
         )
         d_msg = redS[:, :Hdk].astype(msg2d.dtype)
         row_dsa = redS[:, Hdk : 2 * Hdk]  # (n_rows, Hdk) per-compact-row
@@ -666,7 +782,7 @@ def _make_hgt_compact_attention_op(clip: Optional[float]):
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
         redD = _packed_reduce(
             [dsk], Hdk, pack_dt, infoD.canon_ptr, n_runs, EP, E,
-            infoD.canon_tables,
+            infoD.canon_tables, out_dt=pack_dt,
         )
         d_attq = gather_nodes(redD[:, :Hdk], infoD.canon_to_row).astype(
             attq2d.dtype
@@ -749,7 +865,8 @@ def _cwa_bwd(res, ct):
     # docstring design rule)
     payload = ct_e * w_e.astype(jnp.float32)[:, None]
     red = _sorted_compact_reduce(
-        infoS, [payload], C, _pack_dt(feat_c2d), EP, E
+        infoS, [payload], C, _pack_dt(feat_c2d), EP, E,
+        out_dt=_pack_dt(feat_c2d),
     )
     d_feat_c = red[:, :C].astype(feat_c2d.dtype)
     return d_feat_c, d_w, None

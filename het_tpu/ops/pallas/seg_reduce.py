@@ -286,6 +286,7 @@ def seg_sum_sorted_pallas_raw(
     interpret: Optional[bool] = None,
     nb: int = NB,
     chunk: int = CHUNK,
+    out_dtype=None,
 ) -> Array:
     """Sum (EP, C) rows into (N, C) over ANY sorted segmentation described
     by its (N+1,) row pointer (dst-sorted canonical order, src-sorted
@@ -332,10 +333,15 @@ def seg_sum_sorted_pallas_raw(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # bf16 payloads take the exact single-pass MXU path; the output stays
-    # f32 (the accumulator dtype) so downstream divides keep precision
+    # bf16 payloads take the exact single-pass MXU path; the output
+    # default is f32 (the accumulator dtype) so downstream divides keep
+    # precision; backward reduces in mixed-precision mode pass
+    # out_dtype=bf16 — numerically identical to casting the f32 result
+    # (one rounding either way) but the big (rows, C) buffer is half the
+    # HBM (at full-mag scale the f32 form is a 3 GB allocation)
     bf16_vals = vals2d.dtype == jnp.bfloat16
-    out_dtype = jnp.float32 if bf16_vals else vals2d.dtype
+    if out_dtype is None:
+        out_dtype = jnp.float32 if bf16_vals else vals2d.dtype
     out = pl.pallas_call(
         _make_kernel(C, nb, chunk, G, bf16_vals),
         grid_spec=grid_spec,
@@ -498,6 +504,7 @@ def seg_sum_sorted_folded_pallas_raw(
     interpret: Optional[bool] = None,
     nb: int = NB,
     chunk: int = FOLD_CHUNK,
+    out_dtype=None,
 ) -> Array:
     """Sum folded edge payloads into (N, Cp) rows over a sorted segmentation.
 
@@ -544,10 +551,12 @@ def seg_sum_sorted_folded_pallas_raw(
         ],
     )
     bf16_vals = vals_folded.dtype == jnp.bfloat16
+    if out_dtype is None:
+        out_dtype = jnp.float32
     out = pl.pallas_call(
         _make_folded_kernel(nb, chunk, G, k, bf16_vals, interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, 128), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * EPf * k * nb * Cp,
@@ -556,12 +565,15 @@ def seg_sum_sorted_folded_pallas_raw(
         ),
     )(tptr, vals_folded, lower, upper)
     out = out[:N]
-    # combine the k disjoint lane blocks (one tiny node-space pass; the
-    # slice-adds are index maps XLA fuses with downstream consumers)
-    res = out[:, :Cp]
-    for jj in range(1, k):
-        res = res + out[:, jj * Cp : (jj + 1) * Cp]
-    return res
+    # combine the k disjoint lane blocks in ONE reduce pass.  A chained
+    # slice-add loop here compiled to k-1 separately-materialized fusion
+    # outputs (7 x 1.48 GB allocations at full-mag scale — the difference
+    # between fitting and OOM on one chip).
+    return (
+        out.reshape(out.shape[0], k, Cp)
+        .sum(axis=1, dtype=jnp.float32)
+        .astype(out.dtype)
+    )
 
 
 @jax.custom_vjp

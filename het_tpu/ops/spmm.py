@@ -195,6 +195,38 @@ def relational_fused_gat(
     return scatter_sum_dst(g, feat_src_e * alpha[..., None])
 
 
+def relational_fused_gat_compact_packed(
+    g: HeteroGraph,
+    fe: Array,
+    er_c: Array,
+    slope: float,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Compact fused GAT over the PACKED fused-projection output: fe
+    (UCs, H, 1+D) carries per-head ``[el | feat]`` lanes from ONE segment
+    matmul (the multiply_first path's combined projection).  Keeping the
+    buffer packed end-to-end matters at scale: every separate narrow
+    compact array costs a full 128-lane row of HBM per compact row
+    (1.5-3 GB each at full-mag's 6.2M rows)."""
+    from . import get_backend
+
+    if (
+        get_backend() == "pallas"
+        and stable in (False, "raw", "clip")
+        and g.compact_src.edge_sort_perm is not None
+    ):
+        from .pallas.fused_agg import fused_softmax_agg_compact_packed
+
+        return fused_softmax_agg_compact_packed(
+            g, fe, er_c, act="leaky_relu", slope=slope,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    return relational_fused_gat_compact(
+        g, fe[..., 1:], fe[..., 0], er_c, slope, stable=stable
+    )
+
+
 def gat_node_fused(
     g: HeteroGraph,
     feat: Array,

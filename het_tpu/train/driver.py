@@ -14,6 +14,7 @@ jitted forward / train-step functions; memory from
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -115,6 +116,11 @@ def train(
             tile=cfg.tile,
             build_compact=cfg.compact,
         )
+    # host -> device ONCE: graph leaves come out of the build as numpy;
+    # since the graph rides as a jit ARGUMENT (see note below), numpy
+    # leaves would be re-uploaded on EVERY call — measured 1.26M edges/s
+    # flat at all scales (pure transfer-bound) before this device_put
+    data = dataclasses.replace(data, graph=jax.device_put(data.graph))
     g = data.graph
     key = jax.random.PRNGKey(cfg.seed)
     k_embed, k_model, k_drop = jax.random.split(key, 3)

@@ -67,6 +67,10 @@ def main(scale=1.0, dtype=jnp.bfloat16):
         eps = s * jnp.asarray(1e-30, jnp.float32)
         return xx + eps.astype(xx.dtype)
 
+    # the graph rides as a jit ARGUMENT; put it on device ONCE — numpy
+    # leaves would re-upload the whole graph through the tunnel per call
+    # (measured: 1.26M edges/s flat at every scale, pure transfer-bound)
+    g = jax.device_put(g)
     try:
         xc = chain_step(g, x)
         force(xc)  # compile + settle
@@ -87,6 +91,7 @@ def main(scale=1.0, dtype=jnp.bfloat16):
     finally:
         ops.set_backend("xla")
     res = {
+        "scale": scale,
         "edges": g.num_edges,
         "nodes": g.num_nodes,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
@@ -101,4 +106,4 @@ def main(scale=1.0, dtype=jnp.bfloat16):
 
 
 if __name__ == "__main__":
-    main()
+    main(scale=float(sys.argv[1]) if len(sys.argv) > 1 else 1.0)
