@@ -60,8 +60,9 @@ def main():
                                 num_ntypes=g.num_ntypes,
                                 num_rels=g.num_rels, compact=True,
                                 stable_softmax="clip", **common),
-        "RGCN+compact": RGCNModel(in_feat=f_in, hidden=64, num_classes=8,
-                                  num_rels=g.num_rels, num_layers=2,
+        "RGCN+compact": RGCNModel(num_nodes=g.num_nodes, in_feat=f_in,
+                                  featureless=False, hidden=64,
+                                  num_classes=8, num_rels=g.num_rels,
                                   dropout=0.0, compact=True),
         "GAT": GATModel(in_feat=f_in, hidden=64, num_classes=8,
                         num_heads=heads),
