@@ -173,3 +173,97 @@ def test_fused_compact_op_parity(pallas_backend):
         for a, b in zip(gx, gp):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=2e-4)
+
+
+def test_packed_compact_op_parity(pallas_backend):
+    """The packed-operand compact fused op (memory form, auto-selected
+    above models.rgat.PACKED_COMPACT_ROWS rows) must match the split form
+    exactly — fwd, d_fe, and d_er."""
+    g = _toy(seed=11)
+    H, D = 2, 6
+    UCs = g.compact_src.seg.n_rows
+    UCd = g.compact_dst.seg.n_rows
+    fe = jax.random.normal(jax.random.PRNGKey(5), (UCs, H, 1 + D)) * 0.4
+    er_c = jax.random.normal(jax.random.PRNGKey(6), (UCd, H)) * 0.3
+
+    def run_packed(fe_, er_):
+        out = ops.relational_fused_gat_compact_packed(
+            g, fe_, er_, 0.2, stable="clip")
+        return jnp.sum(out ** 2)
+
+    def run_split(fe_, er_):
+        out = ops.relational_fused_gat_compact(
+            g, fe_[..., 1:], fe_[..., 0], er_, 0.2, stable="clip")
+        return jnp.sum(out ** 2)
+
+    vp = run_packed(fe, er_c)
+    gp = jax.grad(run_packed, argnums=(0, 1))(fe, er_c)
+    vs = run_split(fe, er_c)
+    gs = jax.grad(run_split, argnums=(0, 1))(fe, er_c)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=1e-5)
+    for a, b in zip(gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    # and against the XLA lowering
+    ops.set_backend("xla")
+    vx = run_packed(fe, er_c)
+    gx = jax.grad(run_packed, argnums=(0, 1))(fe, er_c)
+    ops.set_backend("pallas")
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-4)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
+def test_hgt_fused_compact_attention_parity(pallas_backend):
+    """The fully-fused HGT compact attention chain vs the unfused XLA
+    composition: fwd + grads wrt (msg_c, attq_c, k, mu)."""
+    g = _toy(seed=13)
+    H, dk = 2, 4
+    UCs = g.compact_src.seg.n_rows
+    UCd = g.compact_dst.seg.n_rows
+    msg_c = jax.random.normal(jax.random.PRNGKey(7), (UCs, H, dk)) * 0.5
+    attq_c = jax.random.normal(jax.random.PRNGKey(8), (UCd, H, dk)) * 0.5
+    k_n = jax.random.normal(jax.random.PRNGKey(9), (g.num_nodes, H, dk)) * 0.5
+    mu = jax.random.uniform(jax.random.PRNGKey(10), (g.num_rels, H)) + 0.5
+
+    def run(mc, aq, kk, m):
+        out = ops.hgt_compact_attention(g, mc, aq, kk, m, stable="clip")
+        return jnp.sum(out ** 2)
+
+    args = (msg_c, attq_c, k_n, mu)
+    ops.set_backend("xla")
+    vx = run(*args)
+    gx = jax.grad(run, argnums=(0, 1, 2, 3))(*args)
+    ops.set_backend("pallas")
+    vp = run(*args)
+    gp = jax.grad(run, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-4)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
+def test_gat_node_fused_parity(pallas_backend):
+    """Node-sided fused GAT vs the gather-then-aggregate XLA composition:
+    fwd + grads wrt (feat, el, er)."""
+    g = _toy(seed=17)
+    H, D = 2, 8
+    feat = jax.random.normal(jax.random.PRNGKey(11), (g.num_nodes, H, D))
+    el = jax.random.normal(jax.random.PRNGKey(12), (g.num_nodes, H)) * 0.3
+    er = jax.random.normal(jax.random.PRNGKey(13), (g.num_nodes, H)) * 0.3
+
+    def run(f, l, r):
+        out = ops.gat_node_fused(g, f, l, r, 0.2, stable="clip")
+        return jnp.sum(out ** 2)
+
+    ops.set_backend("xla")
+    vx = run(feat, el, er)
+    gx = jax.grad(run, argnums=(0, 1, 2))(feat, el, er)
+    ops.set_backend("pallas")
+    vp = run(feat, el, er)
+    gp = jax.grad(run, argnums=(0, 1, 2))(feat, el, er)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-4)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
