@@ -41,22 +41,36 @@ class GATLayer(nn.Module):
         attn_r = self.param("attn_r", init, (H, D), self.param_dtype)
 
         x = nn.Dropout(rate=self.feat_drop)(x, deterministic=deterministic)
-        feat = (x @ w).reshape(g.num_nodes, H, D)  # dense: single relation
-        el = jnp.einsum("nhd,hd->nh", feat, attn_l)
-        er = jnp.einsum("nhd,hd->nh", feat, attn_r)
+        # STRICTLY 2D head-major layout discipline for GAT's wide payloads:
+        # (N, H, D) views + einsum backwards pick conflicting XLA layouts
+        # (~2 GB of physical copies in the step HLO, docs/ROUND2_NOTES.md
+        # "GAT residue").  el/er ride one block-diagonal (H*D, 2H) matmul.
+        feat2d = x @ w  # (N, H*D) dense: single relation
+        eye = jnp.eye(H, dtype=jnp.float32)
+        a_lr = jnp.concatenate(
+            [
+                (attn_l.astype(jnp.float32)[:, :, None] * eye[:, None, :])
+                .reshape(H * D, H),
+                (attn_r.astype(jnp.float32)[:, :, None] * eye[:, None, :])
+                .reshape(H * D, H),
+            ],
+            axis=1,
+        )  # (H*D, 2H) block-diagonal; grads flow back to attn_l/attn_r
+        eler = feat2d @ a_lr.astype(feat2d.dtype)  # (N, 2H)
+        el, er = eler[:, :H], eler[:, H:]
         # node-level fused aggregation: per-edge features never materialize
-        # outside the reduce producers (ops.gat_node_fused)
-        h = ops.gat_node_fused(
-            g, feat, el, er, self.leaky_relu_slope
-        )  # (N, H, D)
+        # outside the reduce producers (ops.gat_node_fused2d)
+        h = ops.gat_node_fused2d(
+            g, feat2d, el, er, self.leaky_relu_slope, num_heads=H
+        )  # (N, H*D)
         if self.residual:
             if self.in_feat == H * D:
-                h = h + x.reshape(g.num_nodes, H, D)
+                h = h + x
             else:
                 res_w = self.param(
                     "res_fc", init, (self.in_feat, H * D), self.param_dtype
                 )
-                h = h + (x @ res_w).reshape(g.num_nodes, H, D)
+                h = h + x @ res_w
         if self.activation is not None:
             h = self.activation(h)
         return h
@@ -84,8 +98,7 @@ class GATModel(nn.Module):
                 feat_drop=self.feat_drop,
                 activation=jax.nn.elu,
                 param_dtype=self.param_dtype,
-            )(g, h, deterministic=deterministic)
-            h = h.reshape(g.num_nodes, -1)
+            )(g, h, deterministic=deterministic)  # already 2D (N, H*D)
         h = GATLayer(
             in_feat=self.hidden * self.num_heads
             if self.num_layers > 1

@@ -29,6 +29,7 @@ from .spmm import (  # noqa: F401
     edge_softmax,
     edge_softmax_weighted_sum,
     gat_node_fused,
+    gat_node_fused2d,
     hgt_compact_attention,
     hgt_edge_softmax,
     hgt_softmax_weighted_agg,

@@ -157,6 +157,45 @@ def _head_sums(p: Array, H: int, D: int) -> Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _head_sum_matrix(H: int, D: int):
+    """(H*D, H) one-hot head-sum matrix M[h*D+d, h] = 1 (numpy: caching a
+    traced-context jnp constant would leak tracers across jit scopes)."""
+    import numpy as np
+
+    m = np.zeros((H * D, H), np.float32)
+    for h in range(H):
+        m[h * D : (h + 1) * D, h] = 1.0
+    return m
+
+
+def _head_sums_mm(p: Array, H: int, D: int) -> Array:
+    """Head sums as a one-hot MXU contraction — strictly 2D, layout-neutral
+    (the reshape-sum form makes XLA pick column-major layouts for wide
+    elementwise chains, inserting physical copies; see _make_node_fused_op
+    docstring)."""
+    if D == 1:
+        return p
+    return jax.lax.dot(
+        p.astype(jnp.float32), jnp.asarray(_head_sum_matrix(H, D)),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _repeat_heads_mm(z: Array, D: int) -> Array:
+    """(EP, H) -> (EP, H*D) head-major broadcast as a one-hot MXU dot.
+    ``jnp.repeat`` lowers through a 3D broadcast_in_dim whose col-major
+    bitcast forces a physical (EP, H*D) layout copy AND flips the whole
+    consuming elementwise chain col-major (see _make_node_fused_op)."""
+    if D == 1:
+        return z
+    H = z.shape[1]
+    return jax.lax.dot(
+        z.astype(jnp.float32), jnp.asarray(_head_sum_matrix(H, D).T),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _make_fused_op(act: str, slope: float, clip: Optional[float]):
     """Custom-VJP fused op, per-edge inputs.  Traced operands (the graph
     included) flow through arguments — None cotangents — never closures
@@ -550,7 +589,16 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
     removes the (EP, H*D) gather materialization and its backward scatter
     (measured 9.4 ms fwd+bwd alone at mag scale) from the layer.  The wide
     ``zf`` block and the narrow ``z`` block reduce in separate kernel
-    calls: splitting avoids padding 256-lane payloads to 384."""
+    calls: splitting avoids padding 256-lane payloads to 384.
+
+    Layout discipline (round-2 fix for GAT's ~20 ms copy residue): every
+    wide buffer stays STRICTLY 2D head-major — no (EP, H, D) / (N, H, D)
+    views anywhere in this op.  3D reshapes made XLA assign column-major
+    layouts to the elementwise chain while the reduce-kernel operands need
+    row-major, inserting 6 physical layout conversions of the (EP, 256)
+    and (N, 256) buffers (~2.1 GB of pure copy traffic in the step HLO).
+    Head broadcasts ride ``_repeat_heads`` (lane index map), head sums ride
+    a (HD, H) one-hot matmul (``_head_sums_mm``) — both layout-neutral."""
 
     def _edge_z(el, er, g):
         # gather_nodes: padding edges (src == src_space sentinel) read the
@@ -566,19 +614,18 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
         return z, actd
 
     def _fwd(feat2d, el, er, g):
-        EP = g.num_padded_edges
         H = el.shape[1]
         HD = feat2d.shape[1]
         D = HD // H
         pack_dt = _pack_dt(feat2d)
         z, _ = _edge_z(el, er, g)
         feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
-        zf = (z[..., None] * feat_e.reshape(EP, H, D)).reshape(EP, HD)
+        zf = _repeat_heads_mm(z, D) * feat_e  # 2D, head-major lanes
         # z (narrow -> folded) and zf (multiple-of-128 -> exact) reduce
         # separately; one 384-lane call would move 1.5x the bytes
         s = _packed_reduce_dst(g, [z], H, pack_dt)[:, :H]
         num = _packed_reduce_dst(g, [zf], HD, pack_dt)[:, :HD]
-        out = safe_div(num.reshape(-1, H, D), s[..., None])
+        out = safe_div(num, _repeat_heads_mm(s, D))  # (N, HD) 2D
         return out.astype(feat2d.dtype), (s, out)
 
     @jax.custom_vjp
@@ -599,18 +646,16 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
         pack_dt = _pack_dt(feat2d)
         z, actd = _edge_z(el, er, g)
         feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
-        ct = ct.astype(jnp.float32)
-        ct2 = ct.reshape(-1, HD)
-        t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
+        ct2 = ct.astype(jnp.float32)  # (N, HD) 2D
+        t2 = _head_sums_mm(out * ct2, H, D)  # (N, H)
         ctd = gather_dst(g, ct2)  # wide monotone
         cpe = gather_dst(g, jnp.concatenate([s, t2], axis=1))  # narrow
         s_d = cpe[:, :H]
         t2d = cpe[:, H:]
         alpha = safe_div(z, s_d)
-        ctd3 = ctd.reshape(EP, H, D)
-        t1 = jnp.sum(feat_e.reshape(EP, H, D) * ctd3, axis=-1)
+        t1 = _head_sums_mm(feat_e * ctd, H, D)
         draw = alpha * (t1 - t2d) * actd
-        dfeat = (alpha[..., None] * ctd3).reshape(EP, HD)
+        dfeat = _repeat_heads_mm(alpha, D) * ctd
         # d_er: canonical (dst-sorted) narrow folded reduce
         d_er = _packed_reduce_dst(g, [draw], H, pack_dt)[:, :H]
         # d_el | d_feat: one flat permute into src-CSR order; wide zf-class
@@ -634,6 +679,24 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
     return op
 
 
+def fused_gat_nodes2d(
+    g: HeteroGraph,
+    feat2d: Array,
+    el: Array,
+    er: Array,
+    *,
+    act: str = "leaky_relu",
+    slope: float = 0.2,
+    clip: Optional[float] = None,
+) -> Array:
+    """Strictly-2D node-sided fused GAT aggregation: feat2d (src_space,
+    H*D) head-major, el (src_space, H), er (N, H) -> (N, H*D).  The 2D
+    boundary is the point — see _make_node_fused_op's layout note."""
+    H = el.shape[1]
+    op = _make_node_fused_op(act, float(slope), clip)
+    return op(feat2d, el, er, g)
+
+
 def fused_gat_nodes(
     g: HeteroGraph,
     feat: Array,
@@ -648,8 +711,9 @@ def fused_gat_nodes(
 
     feat (src_space, H, D), el (src_space, H), er (N, H) -> (N, H, D)."""
     ns, H, D = feat.shape
-    op = _make_node_fused_op(act, float(slope), clip)
-    out = op(feat.reshape(ns, H * D), el, er, g)
+    out = fused_gat_nodes2d(
+        g, feat.reshape(ns, H * D), el, er, act=act, slope=slope, clip=clip
+    )
     return out.reshape(g.num_nodes, H, D)
 
 

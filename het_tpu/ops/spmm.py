@@ -258,6 +258,39 @@ def gat_node_fused(
     )
 
 
+def gat_node_fused2d(
+    g: HeteroGraph,
+    feat2d: Array,
+    el: Array,
+    er: Array,
+    slope: float,
+    *,
+    num_heads: int,
+    stable: bool = False,
+) -> Array:
+    """Strictly-2D form of :func:`gat_node_fused`: feat2d (src_space, H*D)
+    head-major -> (N, H*D).  Wide-payload models (GAT: H*D = 256) must stay
+    2D end-to-end — 3D (rows, H, D) views make XLA assign column-major
+    layouts to the elementwise chains while the reduce-kernel operands need
+    row-major, inserting ~2 GB of physical layout copies into the step HLO
+    (docs/ROUND2_NOTES.md "GAT residue")."""
+    from . import get_backend
+
+    H = num_heads
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import fused_gat_nodes2d
+
+        return fused_gat_nodes2d(
+            g, feat2d, el, er, act="leaky_relu", slope=slope,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    D = feat2d.shape[1] // H
+    out = gat_node_fused(
+        g, feat2d.reshape(-1, H, D), el, er, slope, stable=stable
+    )
+    return out.reshape(g.num_nodes, H * D)
+
+
 def relational_fused_gat_compact(
     g: HeteroGraph,
     feat_c: Array,
