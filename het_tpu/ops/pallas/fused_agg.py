@@ -600,31 +600,53 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
     Head broadcasts ride ``_repeat_heads`` (lane index map), head sums ride
     a (HD, H) one-hot matmul (``_head_sums_mm``) — both layout-neutral."""
 
-    def _edge_z(el, er, g):
-        # gather_nodes: padding edges (src == src_space sentinel) read the
-        # zero row -> z = 1, finite; the kernels' range compares drop them.
-        # el gathers SEPARATELY from feat: a fused [el | feat] gather
-        # measured 4.5 ms vs 3.6 for split gathers at GAT widths (the
-        # narrow z chain blocks fusion of the wide gather otherwise)
-        el_e = gather_nodes(el, g.src).astype(jnp.float32)
+    def _edge_inputs(feat2d, el, er, g):
+        """Per-edge z, act-derivative and gathered features.
+
+        Every (EP, c) f32 edge array physically occupies EP x 512 B (the
+        (8,128) tile pads lanes), so for NARROW payloads (H + HD within
+        one fold block) the el and feat gathers merge into ONE gather —
+        each extra narrow gather costs a full 512 B/row pass.  For WIDE
+        payloads they stay split: a fused [el | feat] gather measured
+        4.5 ms vs 3.6 for split gathers at GAT widths (the narrow z chain
+        blocks fusion of the wide gather otherwise).
+
+        gather_nodes: padding edges (src == src_space sentinel) read the
+        zero row -> z = 1, finite; the kernels' range compares drop them.
+        """
+        H = el.shape[1]
+        HD = feat2d.shape[1]
+        if _fold_width(HD + H) == _fold_width(HD):
+            fe = gather_nodes(
+                jnp.concatenate([feat2d, el.astype(feat2d.dtype)], axis=1),
+                g.src,
+            ).astype(jnp.float32)
+            feat_e, el_e = fe[:, :HD], fe[:, HD:]
+        else:
+            el_e = gather_nodes(el, g.src).astype(jnp.float32)
+            feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
         er_e = gather_dst(g, er).astype(jnp.float32)  # monotone
         raw = el_e + er_e
         z = jnp.exp(_act_apply(raw, act, slope, clip))
         actd = _act_deriv(raw, act, slope, clip)
-        return z, actd
+        return z, actd, feat_e
 
     def _fwd(feat2d, el, er, g):
         H = el.shape[1]
         HD = feat2d.shape[1]
         D = HD // H
         pack_dt = _pack_dt(feat2d)
-        z, _ = _edge_z(el, er, g)
-        feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
+        z, _, feat_e = _edge_inputs(feat2d, el, er, g)
         zf = _repeat_heads_mm(z, D) * feat_e  # 2D, head-major lanes
-        # z (narrow -> folded) and zf (multiple-of-128 -> exact) reduce
-        # separately; one 384-lane call would move 1.5x the bytes
-        s = _packed_reduce_dst(g, [z], H, pack_dt)[:, :H]
-        num = _packed_reduce_dst(g, [zf], HD, pack_dt)[:, :HD]
+        if _fold_width(H + HD) == _fold_width(HD):
+            # narrow: z and zf share one fold block -> ONE reduce pass
+            agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
+            s, num = agg[:, :H], agg[:, H : H + HD]
+        else:
+            # wide: z (narrow -> folded) and zf (multiple-of-128 -> exact)
+            # reduce separately; one 384-lane call would move 1.5x the bytes
+            s = _packed_reduce_dst(g, [z], H, pack_dt)[:, :H]
+            num = _packed_reduce_dst(g, [zf], HD, pack_dt)[:, :HD]
         out = safe_div(num, _repeat_heads_mm(s, D))  # (N, HD) 2D
         return out.astype(feat2d.dtype), (s, out)
 
@@ -644,30 +666,51 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
         H = el.shape[1]
         D = HD // H
         pack_dt = _pack_dt(feat2d)
-        z, actd = _edge_z(el, er, g)
-        feat_e = gather_nodes(feat2d, g.src).astype(jnp.float32)
+        z, actd, feat_e = _edge_inputs(feat2d, el, er, g)
         ct2 = ct.astype(jnp.float32)  # (N, HD) 2D
         t2 = _head_sums_mm(out * ct2, H, D)  # (N, H)
-        ctd = gather_dst(g, ct2)  # wide monotone
-        cpe = gather_dst(g, jnp.concatenate([s, t2], axis=1))  # narrow
-        s_d = cpe[:, :H]
-        t2d = cpe[:, H:]
+        narrow = _fold_width(HD + 2 * H) == _fold_width(HD)
+        if narrow:
+            # one dst gather for [ct | s | t2] (each extra narrow gather
+            # costs a full 512 B/row pass — see _edge_inputs)
+            cte = gather_dst(
+                g, jnp.concatenate([ct2, s, t2], axis=1)
+            )  # monotone
+            ctd = cte[:, :HD]
+            s_d = cte[:, HD : HD + H]
+            t2d = cte[:, HD + H :]
+        else:
+            ctd = gather_dst(g, ct2)  # wide monotone
+            cpe = gather_dst(g, jnp.concatenate([s, t2], axis=1))  # narrow
+            s_d = cpe[:, :H]
+            t2d = cpe[:, H:]
         alpha = safe_div(z, s_d)
         t1 = _head_sums_mm(feat_e * ctd, H, D)
         draw = alpha * (t1 - t2d) * actd
         dfeat = _repeat_heads_mm(alpha, D) * ctd
         # d_er: canonical (dst-sorted) narrow folded reduce
         d_er = _packed_reduce_dst(g, [draw], H, pack_dt)[:, :H]
-        # d_el | d_feat: one flat permute into src-CSR order; wide zf-class
-        # payload and narrow draw ride separate kernels (pad rule above)
-        d_feat = _packed_reduce(
-            [dfeat], HD, pack_dt, g.out_row_ptr, g.src_space, EP, E,
-            g.out_tables, perm=g.out_perm, out_dt=pack_dt,
-        )[:, :HD]
-        d_el = _packed_reduce(
-            [draw], H, pack_dt, g.out_row_ptr, g.src_space, EP, E,
-            g.out_tables, perm=g.out_perm, out_dt=pack_dt,
-        )[:, :H]
+        # d_el | d_feat: one flat permute into src-CSR order.  Narrow:
+        # both ride one fold block -> one permute + one reduce; wide:
+        # zf-class payload and narrow draw ride separate kernels (pad
+        # rule in _fwd)
+        if narrow:
+            dagg = _packed_reduce(
+                [draw, dfeat], H + HD, pack_dt, g.out_row_ptr,
+                g.src_space, EP, E, g.out_tables, perm=g.out_perm,
+                out_dt=pack_dt,
+            )
+            d_el = dagg[:, :H]
+            d_feat = dagg[:, H : H + HD]
+        else:
+            d_feat = _packed_reduce(
+                [dfeat], HD, pack_dt, g.out_row_ptr, g.src_space, EP, E,
+                g.out_tables, perm=g.out_perm, out_dt=pack_dt,
+            )[:, :HD]
+            d_el = _packed_reduce(
+                [draw], H, pack_dt, g.out_row_ptr, g.src_space, EP, E,
+                g.out_tables, perm=g.out_perm, out_dt=pack_dt,
+            )[:, :H]
         return (
             d_feat.astype(feat2d.dtype),
             d_el.astype(el.dtype),

@@ -27,6 +27,7 @@ wrapped in ``jax.custom_vjp`` with an XLA gather backward.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -493,6 +494,16 @@ def _make_folded_kernel(
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_combine_matrix(k: int, Cp: int):
+    """(128, Cp) one-hot fold-combine matrix: M[j*Cp + c, c] = 1 for all
+    j < k (numpy so cached values never leak tracers across jit scopes)."""
+    m = np.zeros((k * Cp, Cp), np.float32)
+    for j in range(k):
+        m[j * Cp : (j + 1) * Cp] = np.eye(Cp, dtype=np.float32)
+    return m
+
+
 def seg_sum_sorted_folded_pallas_raw(
     vals_folded: Array,
     k: int,
@@ -565,15 +576,21 @@ def seg_sum_sorted_folded_pallas_raw(
         ),
     )(tptr, vals_folded, lower, upper)
     out = out[:N]
-    # combine the k disjoint lane blocks in ONE reduce pass.  A chained
-    # slice-add loop here compiled to k-1 separately-materialized fusion
-    # outputs (7 x 1.48 GB allocations at full-mag scale — the difference
-    # between fitting and OOM on one chip).
-    return (
-        out.reshape(out.shape[0], k, Cp)
-        .sum(axis=1, dtype=jnp.float32)
-        .astype(out.dtype)
-    )
+    # combine the k disjoint lane blocks in ONE pass.  A chained slice-add
+    # loop here compiled to k-1 separately-materialized fusion outputs
+    # (7 x 1.48 GB allocations at full-mag scale — the difference between
+    # fitting and OOM on one chip), and a reshape(N,k,Cp).sum(axis=1)
+    # makes XLA bitcast the kernel output to a column-major (N,k,Cp) view,
+    # paying a physical (N,128) layout copy per reduce call (8 x 37.7 MB
+    # in the GAT step HLO).  A one-hot MXU dot is layout-neutral and the
+    # FLOPs are negligible (N*128*Cp*2).
+    if k == 1:
+        return out
+    return jax.lax.dot(
+        out,
+        jnp.asarray(_fold_combine_matrix(k, Cp), out.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(out.dtype)
 
 
 @jax.custom_vjp
