@@ -56,6 +56,7 @@ import jax.numpy as jnp
 
 from ...graph.structures import HeteroGraph
 from ..common import gather_dst, gather_nodes, safe_div, take_rows
+from .seg_reduce import fold_width as _fold_width
 
 Array = jax.Array
 
@@ -83,56 +84,18 @@ def _act_deriv(raw, act: str, slope: float, clip: Optional[float]):
     return d
 
 
-def _fold_width(c: int) -> int:
-    """Smallest 128-divisor lane-block width >= 16 holding ``c`` payload
-    lanes.  The floor of 16 caps the fold factor at k=8: each extra fold
-    slot adds one one-hot sub-dot per chunk, and past k=8 the MXU cost of
-    the extra sub-dots on sparse segmentations (compact row_ptrs average a
-    few edges per row) outweighs the DMA saved (device sweep: k=16 is
-    1.7-3.5x slower than k=4-8 on canon/edge compact tables)."""
-    for cp in (16, 32, 64):
-        if cp >= c:
-            return cp
-    # no fold: the unfolded kernel takes any multiple of 128 lanes
-    return -(-c // 128) * 128
-
-
 def _pack_dt(x) -> jnp.dtype:
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 
 def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables,
                    perm=None, out_dt=None):
-    """Concatenate ``parts`` (total C lanes, in canonical edge order) into
-    the fold-packed per-edge payload and segment-sum it over the sorted
-    segmentation ``row_ptr``.  ``perm`` (optional) permutes the packed
-    payload into the segmentation's edge order first — the pad lanes are
-    emitted by the same fused producer pass, so the permute moves the
-    final buffer once.  Returns (n_rows, >=C) float32."""
-    from .seg_reduce import (
-        seg_sum_sorted_folded_pallas_raw,
-        seg_sum_sorted_pallas_raw,
-    )
+    """See :func:`~het_tpu.ops.pallas.seg_reduce.seg_sum_sorted_packed`."""
+    from .seg_reduce import seg_sum_sorted_packed
 
-    Cp = _fold_width(C)
-    k = 128 // Cp if Cp <= 128 else 1
-    pad = (Cp if k > 1 else -(-C // 128) * 128) - C
-    ps = [p.astype(pack_dt) for p in parts]
-    if pad:
-        ps.append(jnp.zeros((EP, pad), pack_dt))
-    packed = jnp.concatenate(ps, axis=1)
-    if perm is not None:
-        packed = take_rows(packed, perm)
-    if k == 1:
-        out = seg_sum_sorted_pallas_raw(
-            packed, row_ptr, n_rows, EP - E, tables=tables,
-            out_dtype=out_dt,
-        )
-        return out if out_dt is not None else out.astype(jnp.float32)
-    packed = packed.reshape(EP // k, 128)
-    return seg_sum_sorted_folded_pallas_raw(
-        packed, k, row_ptr, n_rows, EP // k - (E + k - 1) // k,
-        tables=tables, out_dtype=out_dt,
+    return seg_sum_sorted_packed(
+        parts, C, pack_dt, row_ptr, n_rows, EP, E, tables,
+        perm=perm, out_dtype=out_dt,
     )
 
 

@@ -593,6 +593,65 @@ def seg_sum_sorted_folded_pallas_raw(
     ).astype(out.dtype)
 
 
+def fold_width(c: int) -> int:
+    """Smallest 128-divisor lane-block width >= 16 holding ``c`` payload
+    lanes.  The floor of 16 caps the fold factor at k=8: each extra fold
+    slot adds one one-hot sub-dot per chunk, and past k=8 the MXU cost of
+    the extra sub-dots on sparse segmentations (compact row_ptrs average a
+    few edges per row) outweighs the DMA saved (device sweep: k=16 is
+    1.7-3.5x slower than k=4-8 on canon/edge compact tables)."""
+    for cp in (16, 32, 64):
+        if cp >= c:
+            return cp
+    # no fold: the unfolded kernel takes any multiple of 128 lanes
+    return -(-c // 128) * 128
+
+
+def seg_sum_sorted_packed(
+    parts,
+    C: int,
+    pack_dt,
+    row_ptr: Array,
+    n_rows: int,
+    EP: int,
+    E: int,
+    tables,
+    perm: Optional[Array] = None,
+    out_dtype=None,
+) -> Array:
+    """Concatenate ``parts`` (total C lanes, canonical edge order) into the
+    fold-packed per-edge payload and segment-sum it over the sorted
+    segmentation ``row_ptr``.  ``perm`` (optional) permutes the packed
+    payload into the segmentation's edge order first — the pad lanes are
+    emitted by the same fused producer pass, so the permute moves the
+    final buffer once.  Returns (n_rows, >=C) in ``out_dtype`` (default
+    float32).  This is the ONE entry point for narrow-payload folding:
+    every (EP, c < 128) materialization costs full 128-lane rows in HBM,
+    so callers must never pre-pad."""
+    from ..common import take_rows
+
+    Cp = fold_width(C)
+    k = 128 // Cp if Cp <= 128 else 1
+    pad = (Cp if k > 1 else -(-C // 128) * 128) - C
+    ps = [p.astype(pack_dt) for p in parts]
+    if pad:
+        ps.append(jnp.zeros((EP, pad), pack_dt))
+    packed = ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
+    if perm is not None:
+        packed = take_rows(packed, perm)
+    if k == 1:
+        out = seg_sum_sorted_pallas_raw(
+            packed, row_ptr, n_rows, EP - E, tables=tables,
+            out_dtype=out_dtype,
+        )
+        return out if out_dtype is not None else out.astype(jnp.float32)
+    packed = packed.reshape(EP // k, 128)
+    return seg_sum_sorted_folded_pallas_raw(
+        packed, k, row_ptr, n_rows, EP // k - (E + k - 1) // k,
+        tables=tables, out_dtype=out_dtype,
+    )
+
+
 @jax.custom_vjp
 def _seg_sum_core(vals2d: Array, g: HeteroGraph) -> Array:
     # dtype-stable (bf16 in -> bf16 out) so the custom-vjp cotangent
