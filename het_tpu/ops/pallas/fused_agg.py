@@ -579,9 +579,15 @@ def _make_node_fused_op(act: str, slope: float, clip: Optional[float]):
         """
         H = el.shape[1]
         HD = feat2d.shape[1]
-        if _fold_width(HD + H) == _fold_width(HD):
+        # merged gather only when dtypes already match: concatenating
+        # f32 logits into a bf16 feature buffer would truncate them
+        # before exp (the wide path gathers el in its own dtype)
+        if (
+            _fold_width(HD + H) == _fold_width(HD)
+            and el.dtype == feat2d.dtype
+        ):
             fe = gather_nodes(
-                jnp.concatenate([feat2d, el.astype(feat2d.dtype)], axis=1),
+                jnp.concatenate([feat2d, el], axis=1),
                 g.src,
             ).astype(jnp.float32)
             feat_e, el_e = fe[:, :HD], fe[:, HD:]

@@ -586,10 +586,21 @@ def seg_sum_sorted_folded_pallas_raw(
     # FLOPs are negligible (N*128*Cp*2).
     if k == 1:
         return out
+    # f32 outputs must combine exactly: default matmul precision rounds
+    # operands to bf16 on TPU, which would silently lose the f32 accuracy
+    # the kernel's bf16x3 split preserves.  The flops are negligible
+    # (N*128*Cp*2), so HIGHEST costs nothing; bf16 outputs keep DEFAULT
+    # (their rounding already happened at the kernel boundary).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if out.dtype == jnp.float32
+        else None
+    )
     return jax.lax.dot(
         out,
         jnp.asarray(_fold_combine_matrix(k, Cp), out.dtype),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(out.dtype)
 
 

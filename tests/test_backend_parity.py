@@ -244,11 +244,19 @@ def test_hgt_fused_compact_attention_parity(pallas_backend):
                                    rtol=5e-3, atol=2e-4)
 
 
-def test_gat_node_fused_parity(pallas_backend):
+@pytest.mark.parametrize(
+    "H,D",
+    [
+        (2, 8),  # HD=16: wide-path fold widths 16 vs 32 in fwd AND bwd
+        (2, 6),  # HD=12: narrow fwd (H+HD=14<=16) AND narrow bwd (16<=16)
+        (4, 7),  # HD=28: narrow fwd (32<=32), wide bwd (HD+2H=36>32)
+    ],
+)
+def test_gat_node_fused_parity(pallas_backend, H, D):
     """Node-sided fused GAT vs the gather-then-aggregate XLA composition:
-    fwd + grads wrt (feat, el, er)."""
+    fwd + grads wrt (feat, el, er).  Configs cover both sides of the
+    _fold_width narrow/wide branch in forward and backward."""
     g = _toy(seed=17)
-    H, D = 2, 8
     feat = jax.random.normal(jax.random.PRNGKey(11), (g.num_nodes, H, D))
     el = jax.random.normal(jax.random.PRNGKey(12), (g.num_nodes, H)) * 0.3
     er = jax.random.normal(jax.random.PRNGKey(13), (g.num_nodes, H)) * 0.3
