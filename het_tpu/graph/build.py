@@ -36,8 +36,13 @@ KERNEL_NB = 128
 
 def build_tile_tables(ptr: np.ndarray, N: int, nb: int = KERNEL_NB) -> TileTables:
     """Host (numpy) mirror of seg_reduce._tables_from_ptr (tile count
-    padded to the kernel's super-block multiple; pad tiles are empty)."""
-    from ..ops.pallas.seg_reduce import TABLE_PAD  # single source of truth
+    padded to the kernel's super-block multiple; pad tiles are empty),
+    plus the flattened (tile x edge-block) work list that drives the
+    pipelined reduce kernel's 1-D grid (TileTables docstring)."""
+    from ..ops.pallas.seg_reduce import (  # single source of truth
+        CHUNK_EDGES,
+        TABLE_PAD,
+    )
 
     ptr = np.asarray(ptr)
     n_tiles = -(-(-(-N // nb)) // TABLE_PAD) * TABLE_PAD if N else 0
@@ -48,8 +53,23 @@ def build_tile_tables(ptr: np.ndarray, N: int, nb: int = KERNEL_NB) -> TileTable
     ).reshape(n_tiles, nb)
     lower = ptr[node_idx][:, None, :]
     upper = ptr[np.minimum(node_idx + 1, N)][:, None, :]
+    # work list: tile t spans edge blocks [b0, b1) (>=1 even when empty,
+    # so every tile's accumulator is zeroed and flushed exactly once)
+    ce = CHUNK_EDGES
+    b0 = tptr[:-1] // ce
+    b1 = np.maximum(-(-tptr[1:] // ce), b0 + 1)
+    cnt = b1 - b0
+    n_work = int(cnt.sum())
+    w_tile = np.repeat(np.arange(n_tiles, dtype=np.int64), cnt)
+    cum = np.concatenate([[0], np.cumsum(cnt)])
+    w_block = b0[w_tile] + (np.arange(n_work, dtype=np.int64) - cum[w_tile])
+    w_first = np.zeros(n_work, np.int32)
+    if n_work:
+        w_first[cum[:-1]] = 1
     return TileTables(
-        nb=nb, tptr=_i32(tptr), lower=_i32(lower), upper=_i32(upper)
+        nb=nb, tptr=_i32(tptr), lower=_i32(lower), upper=_i32(upper),
+        w_tile=_i32(w_tile), w_block=_i32(w_block), w_first=w_first,
+        chunk_edges=ce, n_blocks=int(b1.max()) if n_tiles else 0,
     )
 
 

@@ -127,15 +127,35 @@ class TileTables:
     the host matters: producing scalar-prefetch arguments with on-device
     XLA ops measured **+1.0 ms per kernel call** (the pallas grid scheduler
     must synchronize on the XLA compute before it can start).
+
+    ``w_tile``/``w_block``/``w_first`` flatten the ragged (tile x
+    edge-block) iteration into a 1-D work list for the pipelined reduce
+    kernel: work item ``w`` accumulates edge block ``w_block[w]`` (a
+    ``chunk_edges``-wide slab of the payload) into tile ``w_tile[w]``'s
+    accumulator, zeroed when ``w_first[w]``.  Driving the kernel grid from
+    a host-static work list is what lets Pallas's automatic pipeline
+    stream the payload DMA across tiles — the round-2 per-tile manual
+    DMA start/wait serialized on DMA latency (measured 1.57 ms to move
+    22 MB; the pipelined form is bandwidth-bound).
     """
 
     nb: int
     tptr: Array  # (n_tiles + 1,)
     lower: Array  # (n_tiles, 1, nb)
     upper: Array  # (n_tiles, 1, nb)
+    # -- work list (None on tables built before round 3) --
+    w_tile: Optional[Array] = None  # (n_work,)
+    w_block: Optional[Array] = None  # (n_work,)
+    w_first: Optional[Array] = None  # (n_work,)
+    chunk_edges: int = 0  # edge-block width the work list was built for
+    n_blocks: int = 0  # max(w_block) + 1
 
 
-_register(TileTables, data_fields=("tptr", "lower", "upper"), meta_fields=("nb",))
+_register(
+    TileTables,
+    data_fields=("tptr", "lower", "upper", "w_tile", "w_block", "w_first"),
+    meta_fields=("nb", "chunk_edges", "n_blocks"),
+)
 
 
 @dataclass(frozen=True)

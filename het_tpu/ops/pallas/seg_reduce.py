@@ -42,102 +42,155 @@ from ..common import gather_dst
 Array = jax.Array
 
 NB = 128  # nodes per output tile
-# edges per DMA chunk: 512 measured best at mag scale (1.53 ms vs 2.2 ms at
-# 256 for the (EP, 128) packed reduction — fewer grid-loop iterations beat
-# the extra tile-boundary waste)
+# edges per DMA chunk (max kernel only; the sum path is work-list driven)
 CHUNK = 512
-# node tiles per grid step (sum kernel): per-grid-step fixed cost (~2 us)
-# dominates for ragged segmentations with many small tiles (1113 tiles for
-# mag's compact-row space); super-blocking amortizes it without changing
-# the per-edge MXU work.  Tile tables are padded to a SUPER multiple.
-# Measured on mag (dst 576 tiles / compact 1113 tiles): G=4 best
-# (1.44/1.56 ms vs 1.58/2.29 at G=1; G=8 regresses — output-block VMEM
-# pressure).  Tables are padded to 8 so any G in {1, 2, 4, 8} divides.
+# edges per work-item block of the pipelined sum kernel.  The 1-D grid
+# runs over host-precomputed (tile, edge-block) work items so Pallas's
+# automatic pipeline streams the payload DMA continuously across tiles —
+# the round-2 per-tile manual start/wait serialized on DMA latency
+# (1.57 ms to move 22 MB at mag scale; the work-list form is
+# bandwidth/MXU-bound).
+CHUNK_EDGES = 1024
+# tile-table length padding (kept for table-shape stability)
 TABLE_PAD = 8
-SUPER = 4
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _make_kernel(C: int, nb: int, chunk: int, G: int, bf16_vals: bool):
-    def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sems):
-        i = pl.program_id(0)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+def _make_wl_kernel(
+    W: int, nb: int, rows_pb: int, k: int, bf16_vals: bool,
+    interpret: bool = False,
+):
+    """Work-list segment-sum kernel body.
 
-        for j in range(G):  # G node tiles per grid step (see SUPER)
-            start = tptr_ref[i * G + j]
-            end = tptr_ref[i * G + j + 1]
-            # chunk offsets aligned down to 128 so DMA rows stay
-            # tile-aligned; out-of-range lanes fall outside every
-            # [lower, upper) and vanish
-            astart = (start // 128) * 128
-            n_chunks = (end - astart + chunk - 1) // chunk
+    One grid step = one work item: accumulate payload block
+    ``w_block[w]`` (``rows_pb`` rows x ``W`` lanes; ``rows_pb * k`` edges,
+    fold factor ``k``) into tile ``w_tile[w]``'s f32 accumulator via the
+    one-hot MXU reduction; the accumulator is zeroed on ``w_first[w]`` and
+    written through to the (revisited) output block every step — Pallas
+    flushes it to HBM only when the tile index changes, so each tile costs
+    one HBM write.  All DMA (payload blocks, boundary tables, output
+    flushes) is the automatic pipeline's, double-buffered across grid
+    steps."""
+    # on TPU the MXU accumulates bf16 products in f32 natively; the
+    # interpret-mode (CPU) dot accumulates in the operand dtype, so tests
+    # force f32 operands there to keep the reduction exact
+    op_dt = jnp.float32 if interpret else jnp.bfloat16
+    Cp = W // k
+
+    def kernel(wt_ref, wb_ref, wf_ref, vals_ref, lo_ref, hi_ref, out_ref,
+               acc):
+        w = pl.program_id(0)
+
+        @pl.when(wf_ref[w] == 1)
+        def _():
             acc[...] = jnp.zeros_like(acc)
 
-            lower = lo_ref[j]  # (1, nb)
-            upper = hi_ref[j]  # (1, nb)
-
-            def dma(c):
-                return pltpu.make_async_copy(
-                    vals_hbm.at[pl.ds(astart + c * chunk, chunk), :],
-                    vch.at[c % 2],
-                    sems.at[c % 2],
+        lower = lo_ref[0]  # (1, nb)
+        upper = hi_ref[0]
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_pb, 1), 0)
+        base = wb_ref[w] * rows_pb  # global payload-row offset
+        v = vals_ref[...]
+        if bf16_vals or interpret:
+            parts = (v.astype(op_dt),)
+        else:
+            # bf16x3 significand split of the f32 values (24 mantissa
+            # bits): 3 bf16 MXU passes instead of the ~6 of
+            # Precision.HIGHEST — exact for the 0/1 operand
+            v32 = v.astype(jnp.float32)
+            v_hi = v32.astype(jnp.bfloat16)
+            r1 = v32 - v_hi.astype(jnp.float32)
+            v_mid = r1.astype(jnp.bfloat16)
+            v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = (v_hi, v_mid, v_lo)
+        prec = jax.lax.Precision.HIGHEST if interpret else None
+        total = acc[...]
+        if k == 1:
+            gidx = row_iota + base
+            onehot = jnp.where(
+                (gidx >= lower) & (gidx < upper), 1.0, 0.0
+            ).astype(op_dt)  # (rows_pb, nb); exact in bf16
+            for part in parts:
+                total = total + jax.lax.dot_general(
+                    onehot, part,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    # interpret mode may execute on a real TPU where
+                    # default f32 dot precision rounds operands to bf16
+                    precision=prec,
                 )
-
-            @pl.when(n_chunks > 0)
-            def _():
-                dma(0).start()
-
-            def body(c, _):
-                @pl.when(c + 1 < n_chunks)
-                def _():
-                    dma(c + 1).start()  # double buffer: prefetch next
-
-                dma(c).wait()
-                off = astart + c * chunk
-                gidx = lane_iota + off  # (chunk, 1)
-                onehot = jnp.where(
-                    (gidx >= lower) & (gidx < upper), 1.0, 0.0
-                ).astype(jnp.bfloat16)  # exact in bf16
-                total = acc[...]
-                if bf16_vals:
-                    # bf16 payload: ONE MXU pass — the f32 accumulator
-                    # sums bf16 products exactly (both operands exact)
-                    total = total + jax.lax.dot_general(
-                        onehot,
-                        vch[c % 2],
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    # bf16x3 significand split of the f32 values (24
-                    # mantissa bits): 3 bf16 MXU passes instead of the ~6
-                    # of Precision.HIGHEST — exact for the 0/1 operand
-                    v32 = vch[c % 2].astype(jnp.float32)
-                    v_hi = v32.astype(jnp.bfloat16)
-                    r1 = v32 - v_hi.astype(jnp.float32)
-                    v_mid = r1.astype(jnp.bfloat16)
-                    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(
-                        jnp.bfloat16
-                    )
-                    for part in (v_hi, v_mid, v_lo):
-                        total = total + jax.lax.dot_general(
-                            onehot,
-                            part,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                acc[...] = total
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, body, 0)
-            out_ref[j * nb : (j + 1) * nb, :] = acc[...].astype(
-                out_ref.dtype
+        else:
+            # STACKED one-hot: all k fold slots in one (rows, k*nb)
+            # operand -> one MXU dot per part instead of k lane-masked
+            # sub-dots (24 small dots/step measured 1.9 us/step; the
+            # stacked form is 3 wide dots + one VPU extract).  Fold slot
+            # jj's result lands in output rows [jj*nb, (jj+1)*nb); the
+            # extract keeps only its own lane block, so cross-block
+            # pollution cancels exactly as in the masked form.
+            lane_jj = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows_pb, k * nb), 1)
+                // nb
             )
+            gidx = (row_iota + base) * k + lane_jj  # (rows, k*nb)
+            lower_cat = jnp.concatenate([lower] * k, axis=1)  # (1, k*nb)
+            upper_cat = jnp.concatenate([upper] * k, axis=1)
+            onehot = jnp.where(
+                (gidx >= lower_cat) & (gidx < upper_cat), 1.0, 0.0
+            ).astype(op_dt)
+            chunk_f = None
+            for part in parts:
+                d = jax.lax.dot_general(
+                    onehot, part,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (k*nb, W)
+                chunk_f = d if chunk_f is None else chunk_f + d
+            lane_blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (nb, W), 1) // Cp
+            )
+            for jj in range(k):
+                total = total + jnp.where(
+                    lane_blk == jj,
+                    chunk_f[jj * nb : (jj + 1) * nb, :],
+                    jnp.zeros_like(total),
+                )
+        acc[...] = total
+        out_ref[...] = total.astype(out_ref.dtype)
 
     return kernel
+
+
+def _wl_from_ptr_device(row_ptr, N: int, nb: int, n_edges_cap: int):
+    """Device (jnp) fallback of the host work list for traced row
+    pointers (per-batch compact tables): a STATIC-length work list padded
+    with no-op items (empty pad block, last tile, not-first).  Returns
+    (wt, wb, wf, lower, upper, n_tiles, n_blocks)."""
+    tptr, lower, upper = _tables_from_ptr(row_ptr, N, nb)
+    T = int(lower.shape[0])
+    ce = CHUNK_EDGES
+    n_blocks = n_edges_cap // ce + 2  # last block is all-pad (no-op items)
+    b0 = tptr[:-1] // ce
+    b1 = jnp.maximum(-(-tptr[1:] // ce), b0 + 1)
+    cnt = b1 - b0
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
+    )
+    nw_max = T + n_edges_cap // ce + 2  # static bound on sum(cnt)
+    w = jnp.arange(nw_max, dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(cum, w, side="right").astype(jnp.int32) - 1,
+        0,
+        T - 1,
+    )
+    valid = w < cum[-1]
+    wt = jnp.where(valid, t, T - 1)
+    wb = jnp.where(valid, jnp.take(b0, t) + w - jnp.take(cum, t),
+                   n_blocks - 1)
+    wf = (valid & (w == jnp.take(cum, t))).astype(jnp.int32)
+    return wt, wb, wf, lower, upper, T, n_blocks
 
 
 def _make_max_kernel(C: int, nb: int, chunk: int):
@@ -239,7 +292,7 @@ def seg_max_dst_pallas_raw(
 def _tables_from_ptr(ptr: Array, N: int, nb: int):
     """(tile_ptr (T+1,), lower (T, 1, nb), upper (T, 1, nb)) boundary
     tables for any sorted segmentation given its (N+1,) row pointer.
-    T is padded to a SUPER multiple (pad tiles have empty ranges)."""
+    T is padded to a TABLE_PAD multiple (pad tiles have empty ranges)."""
     ptr = jnp.asarray(ptr)
     n_tiles = -(-(-(-N // nb)) // TABLE_PAD) * TABLE_PAD if N else 0
     idx = jnp.minimum(
@@ -264,17 +317,91 @@ def _tile_tables(g: HeteroGraph, nb: int) -> Tuple[Array, Array, Array]:
     return _tables_from_ptr(g.in_row_ptr, g.num_nodes, nb)
 
 
-def _unpack_tables(tables, row_ptr, N, nb):
-    """Use host-precomputed TileTables when present (producing the
-    scalar-prefetch args with on-device XLA measured +1.0 ms/call — the
-    grid scheduler synchronizes on them before any DMA is issued)."""
-    if tables is not None and tables.nb == nb:
-        return (
-            jnp.asarray(tables.tptr),
-            jnp.asarray(tables.lower),
-            jnp.asarray(tables.upper),
+def _seg_sum_wl(
+    vals: Array,
+    k: int,
+    row_ptr: Array,
+    N: int,
+    *,
+    tables=None,
+    interpret: bool = False,
+    nb: int = NB,
+    out_dtype=None,
+) -> Array:
+    """Unified work-list segment sum: ``vals`` is (rows, W) holding
+    ``rows * k`` edges (fold factor ``k``; k=1 means one edge per row),
+    summed over the sorted segmentation ``row_ptr`` into (n_tiles*nb, W).
+    Callers slice [:N] and fold-combine."""
+    rows, W = vals.shape
+    rows_pb = CHUNK_EDGES // k
+    n_edges_cap = rows * k
+    if (
+        tables is not None
+        and tables.nb == nb
+        and tables.w_tile is not None
+        and tables.chunk_edges == CHUNK_EDGES
+    ):
+        wt = jnp.asarray(tables.w_tile)
+        wb = jnp.asarray(tables.w_block)
+        wf = jnp.asarray(tables.w_first)
+        lower = jnp.asarray(tables.lower)
+        upper = jnp.asarray(tables.upper)
+        n_tiles = int(lower.shape[0])
+        n_blocks = int(tables.n_blocks)
+    else:
+        wt, wb, wf, lower, upper, n_tiles, n_blocks = _wl_from_ptr_device(
+            row_ptr, N, nb, n_edges_cap
         )
-    return _tables_from_ptr(row_ptr, N, nb)
+    n_work = int(wt.shape[0])
+    need_rows = n_blocks * rows_pb
+    if rows < need_rows:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((need_rows - rows, W), vals.dtype)], axis=0
+        )
+    if n_tiles == 0 or n_work == 0:
+        return jnp.zeros((max(N, 0), W), out_dtype or jnp.float32)
+
+    bf16_vals = vals.dtype == jnp.bfloat16
+    if out_dtype is None:
+        # f32 output default (the accumulator dtype) so downstream
+        # divides keep precision; mixed-precision backward reduces pass
+        # out_dtype=bf16 — numerically identical to casting the f32
+        # result but half the HBM on the big (rows, W) buffer
+        out_dtype = jnp.float32 if bf16_vals else vals.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (rows_pb, W), lambda w, wt, wb, wf: (wb[w], 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, nb), lambda w, wt, wb, wf: (wt[w], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, nb), lambda w, wt, wb, wf: (wt[w], 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, W), lambda w, wt, wb, wf: (wt[w], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((nb, W), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _make_wl_kernel(W, nb, rows_pb, k, bf16_vals, interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, W), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n_edges_cap * nb * (W // k))
+            * (1 if bf16_vals else 3),
+            bytes_accessed=int(
+                rows * W * vals.dtype.itemsize + n_tiles * nb * W * 4
+            ),
+            transcendentals=0,
+        ),
+    )(wt, wb, wf, vals, lower, upper)
+    return out
 
 
 def seg_sum_sorted_pallas_raw(
@@ -301,59 +428,14 @@ def seg_sum_sorted_pallas_raw(
     if interpret is None:
         interpret = _interpret_default()
     EP, C = vals2d.shape
-    assert chunk % 128 == 0, "chunk must be a multiple of 128"
-    if n_guard < chunk:
-        # chunked DMA may over-read up to `chunk` rows past row_ptr[N];
-        # append guard rows when the caller's layout doesn't provide them
-        # (over-read lanes fall outside every [lower, upper) and vanish)
-        vals2d = jnp.concatenate(
-            [vals2d, jnp.zeros((chunk - n_guard, C), vals2d.dtype)], axis=0
-        )
-        EP += chunk - n_guard
     C_orig = C
-    C = -(-C // 128) * 128 if not interpret else C
+    C = -(-C // 128) * 128
     if C != C_orig:
         vals2d = jnp.pad(vals2d, ((0, 0), (0, C - C_orig)))
-    tptr, lower, upper = _unpack_tables(tables, row_ptr, N, nb)
-    n_tiles = int(lower.shape[0])  # SUPER-padded (pad tiles are empty)
-    G = SUPER if n_tiles >= SUPER else 1
-    assert n_tiles % max(G, 1) == 0 or n_tiles == 0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(max(n_tiles // max(G, 1), 1) if n_tiles else 0,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # vals stay in HBM
-            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
-            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((G * nb, C), lambda i, tp: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, C), vals2d.dtype),  # double buffer
-            pltpu.VMEM((nb, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+    out = _seg_sum_wl(
+        vals2d, 1, row_ptr, N,
+        tables=tables, interpret=interpret, nb=nb, out_dtype=out_dtype,
     )
-    # bf16 payloads take the exact single-pass MXU path; the output
-    # default is f32 (the accumulator dtype) so downstream divides keep
-    # precision; backward reduces in mixed-precision mode pass
-    # out_dtype=bf16 — numerically identical to casting the f32 result
-    # (one rounding either way) but the big (rows, C) buffer is half the
-    # HBM (at full-mag scale the f32 form is a 3 GB allocation)
-    bf16_vals = vals2d.dtype == jnp.bfloat16
-    if out_dtype is None:
-        out_dtype = jnp.float32 if bf16_vals else vals2d.dtype
-    out = pl.pallas_call(
-        _make_kernel(C, nb, chunk, G, bf16_vals),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, C), out_dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * EP * nb * C,
-            bytes_accessed=(EP * C + N * C) * 4 + EP * 4,
-            transcendentals=0,
-        ),
-    )(tptr, vals2d, lower, upper)
     return out[:N, :C_orig]
 
 
@@ -398,100 +480,7 @@ def seg_sum_dst_pallas_raw(
 # independent of k); DMA drops by k.  The caller combines the k lane blocks
 # with one tiny node-space pass.
 
-FOLD_CHUNK = 128  # folded rows per DMA chunk
-FOLD_ALIGN = 16  # sublane alignment of the chunk start (bf16 tile height)
-
-
-def _make_folded_kernel(
-    nb: int, chunk: int, G: int, k: int, bf16_vals: bool,
-    interpret: bool = False,
-):
-    Cp = 128 // k
-    # on TPU the MXU accumulates bf16 products in f32 natively; the
-    # interpret-mode (CPU) dot accumulates in the operand dtype, so tests
-    # force f32 operands there to keep the reduction exact
-    op_dt = jnp.float32 if interpret else jnp.bfloat16
-
-    def kernel(tptr_ref, vals_hbm, lo_ref, hi_ref, out_ref, vch, acc, sems):
-        i = pl.program_id(0)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        lane_blk = (
-            jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1) // Cp
-        )
-
-        for j in range(G):
-            start = tptr_ref[i * G + j]  # edge units
-            end = tptr_ref[i * G + j + 1]
-            astart = (start // k // FOLD_ALIGN) * FOLD_ALIGN  # folded rows
-            fend = (end + k - 1) // k
-            n_chunks = (fend - astart + chunk - 1) // chunk
-            acc[...] = jnp.zeros_like(acc)
-
-            lower = lo_ref[j]  # (1, nb) edge units
-            upper = hi_ref[j]
-
-            def dma(c):
-                return pltpu.make_async_copy(
-                    vals_hbm.at[pl.ds(astart + c * chunk, chunk), :],
-                    vch.at[c % 2],
-                    sems.at[c % 2],
-                )
-
-            @pl.when(n_chunks > 0)
-            def _():
-                dma(0).start()
-
-            def body(c, _):
-                @pl.when(c + 1 < n_chunks)
-                def _():
-                    dma(c + 1).start()
-
-                dma(c).wait()
-                v = vch[c % 2]
-                if bf16_vals or interpret:
-                    parts = (v.astype(op_dt),)
-                else:
-                    v32 = v.astype(jnp.float32)
-                    v_hi = v32.astype(jnp.bfloat16)
-                    r1 = v32 - v_hi.astype(jnp.float32)
-                    v_mid = r1.astype(jnp.bfloat16)
-                    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(
-                        jnp.bfloat16
-                    )
-                    parts = (v_hi, v_mid, v_lo)
-                total = acc[...]
-                base = (row_iota + astart + c * chunk) * k  # (chunk, 1)
-                for jj in range(k):
-                    gidx = base + jj  # edge index at fold slot jj
-                    onehot = jnp.where(
-                        (gidx >= lower) & (gidx < upper), 1.0, 0.0
-                    ).astype(op_dt)  # (chunk, nb)
-                    blk = lane_blk == jj
-                    for part in parts:
-                        vm = jnp.where(blk, part, jnp.zeros_like(part))
-                        total = total + jax.lax.dot_general(
-                            onehot,
-                            vm,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            # interpret mode may execute on a real TPU
-                            # where default f32 dot precision rounds
-                            # operands to bf16
-                            precision=(
-                                jax.lax.Precision.HIGHEST
-                                if interpret
-                                else None
-                            ),
-                        )
-                acc[...] = total
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, body, 0)
-            out_ref[j * nb : (j + 1) * nb, :] = acc[...].astype(
-                out_ref.dtype
-            )
-
-    return kernel
+FOLD_CHUNK = 128  # folded rows per DMA chunk (legacy signature default)
 
 
 @functools.lru_cache(maxsize=None)
@@ -528,53 +517,13 @@ def seg_sum_sorted_folded_pallas_raw(
         interpret = _interpret_default()
     assert 128 % k == 0 and k >= 1
     Cp = 128 // k
-    EPf = vals_folded.shape[0]
     assert vals_folded.shape[1] == 128
-    need_guard = chunk + FOLD_ALIGN
-    if n_guard_rows < need_guard:
-        vals_folded = jnp.concatenate(
-            [
-                vals_folded,
-                jnp.zeros(
-                    (need_guard - n_guard_rows, 128), vals_folded.dtype
-                ),
-            ],
-            axis=0,
-        )
-    tptr, lower, upper = _unpack_tables(tables, row_ptr, N, nb)
-    n_tiles = int(lower.shape[0])
-    G = SUPER if n_tiles >= SUPER else 1
-    assert n_tiles % max(G, 1) == 0 or n_tiles == 0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(max(n_tiles // max(G, 1), 1) if n_tiles else 0,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
-            pl.BlockSpec((G, 1, nb), lambda i, tp: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((G * nb, 128), lambda i, tp: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, 128), vals_folded.dtype),
-            pltpu.VMEM((nb, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    bf16_vals = vals_folded.dtype == jnp.bfloat16
     if out_dtype is None:
         out_dtype = jnp.float32
-    out = pl.pallas_call(
-        _make_folded_kernel(nb, chunk, G, k, bf16_vals, interpret),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, 128), out_dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * EPf * k * nb * Cp,
-            bytes_accessed=EPf * 128 * 4 + N * Cp * 4,
-            transcendentals=0,
-        ),
-    )(tptr, vals_folded, lower, upper)
+    out = _seg_sum_wl(
+        vals_folded, k, row_ptr, N,
+        tables=tables, interpret=interpret, nb=nb, out_dtype=out_dtype,
+    )
     out = out[:N]
     # combine the k disjoint lane blocks in ONE pass.  A chained slice-add
     # loop here compiled to k-1 separately-materialized fusion outputs
