@@ -32,6 +32,8 @@ class _Emitter:
     """Static mirror of ``lower._Env``: tracks which (kind, name) pairs are
     bound to which python symbols and emits space-coercion expressions."""
 
+    hint: dict = {}  # current op's Op-Spec ``tpu`` schedule (class default)
+
     def __init__(self, prog: Program):
         self.prog = prog
         self.lines: List[str] = []
@@ -122,6 +124,30 @@ def _emit_op(e: _Emitter, op: Op) -> None:
         if xv.kind in ("SRCNODE", "DSTNODE"):
             x = e.as_node(xv)
             side = "src" if xv.kind == "SRCNODE" else "dst"
+            strategy = e.hint.get("strategy")
+            if strategy == "gather_einsum":
+                # Op-Spec schedule override (GEMMSpec.tpu["strategy"])
+                e.out("seg = g.edge_rel_seg")
+                e.out(
+                    f"_rows = _gather_edge_rows[{side!r}]({x}, g, seg)"
+                )
+                e.out(f"{o} = segment_matmul_rows(_rows, {w4}, seg)[:, 0]")
+                e.out(f"{o} = seg.scatter_back({o})")
+                e.bind(out)
+                return
+            if strategy == "static_mix" and "static_topk" in e.hint:
+                topk = int(e.hint["static_topk"])
+                e.out("seg = g.edge_rel_seg")
+                e.out(
+                    f"_rows = _gather_edge_rows[{side!r}]({x}, g, seg)"
+                )
+                e.out(
+                    f"{o} = segment_matmul_static_mix(_rows, {w4}, seg, "
+                    f"k_static={topk})[:, 0]"
+                )
+                e.out(f"{o} = seg.scatter_back({o})")
+                e.bind(out)
+                return
             fin(
                 f"ops.edge_typed_linear(g, {x}, {w4}, side={side!r})[:, 0]"
             )
@@ -256,6 +282,14 @@ def _emit_op(e: _Emitter, op: Op) -> None:
 
     if k == "NodeSumAccumulation":
         v = e.as_edge(op.inputs["input"])
+        if e.hint.get("reduction") == "xla_scatter_add":
+            idx = "g.src" if out.kind == "SRCNODE" else "g.dst"
+            ns = "g.src_space" if out.kind == "SRCNODE" else "g.num_nodes"
+            fin(
+                f"jax.ops.segment_sum(g.edge_mask({v}), {idx}, "
+                f"num_segments={ns})"
+            )
+            return
         fn = (
             "ops.scatter_sum_src"
             if out.kind == "SRCNODE"
@@ -297,6 +331,13 @@ def _emit_op(e: _Emitter, op: Op) -> None:
     if k == "FusedEdgeSoftmaxAgg":
         logits = e.as_edge(op.inputs["logits"])
         msg = e.as_edge(op.inputs["msg"])
+        if e.hint.get("packing") == "split":
+            # Op-Spec schedule override: two separate reduce passes
+            e.out(f"_z = g.edge_mask(jnp.exp({logits}))")
+            e.out(f"_s = ops.scatter_sum_dst(g, _z)")
+            e.out(f"_num = ops.scatter_sum_dst(g, _z[..., None] * {msg})")
+            fin("safe_div(_num, _s[..., None])")
+            return
         fin(f"ops.edge_softmax_weighted_sum(g, {logits}, {msg})")
         return
 
@@ -323,16 +364,27 @@ def program_outputs(prog: Program) -> List[Var]:
 
 
 def emit_python(
-    prog: Program,
+    prog,
     name: str = "compiled_program",
     outputs: Optional[List[Var]] = None,
 ) -> str:
-    """Generate a standalone Python function for ``prog``.
+    """Generate a standalone Python function for ``prog`` (an Inter-Op
+    SSA ``Program`` or a scheduled ``OpSpecProgram``).
 
     The emitted source depends only on ``het_tpu.ops`` / ``jax`` — it has
     no imports from ``het_tpu.compiler`` and replays nothing: every IR op
-    is compiled to a direct call.  Execute with
+    is compiled to a direct call.  Given an ``OpSpecProgram``, the specs'
+    ``tpu`` schedule dicts steer emission exactly as in
+    ``lower.compile_program`` (matmul strategy, softmax-agg packing,
+    reduction kernel) — the Op-Spec level is codegen's input, as in the
+    reference (hrt/pyctor/ir/OpSpecSSA/codegen.py).  Execute with
     ``exec(src, ns); ns[name](g, inputs, weights)``."""
+    hints = {}
+    if hasattr(prog, "dag") and hasattr(prog, "specs"):
+        from .lower import _spec_hints
+
+        hints = _spec_hints(prog)
+        prog = prog.dag
     prog.validate()
     e = _Emitter(prog)
     if outputs is None:
@@ -343,7 +395,8 @@ def emit_python(
     for v in prog.weights:
         e.out(f"{_sym(v.name)} = weights[{v.name!r}]")
         e.bind(v)
-    for op in prog.ops:
+    for pos, op in enumerate(prog.ops):
+        e.hint = hints.get(pos, {})
         e.out(f"# {op}")
         _emit_op(e, op)
     ret = ", ".join(f"{v.name!r}: {_sym(v.name)}" for v in outputs)
@@ -354,6 +407,13 @@ def emit_python(
         "import jax.numpy as jnp",
         "from het_tpu import ops",
         "from het_tpu.ops.common import safe_div, take_rows",
+    ]
+    if any("_gather_edge_rows" in ln for ln in e.lines):
+        header.append(
+            "from het_tpu.ops.linear import _gather_edge_rows, "
+            "segment_matmul_rows, segment_matmul_static_mix"
+        )
+    header += [
         "",
         "",
         f"def {name}(g, inputs, weights):",

@@ -33,6 +33,7 @@ class _Env:
     def __init__(self, g: HeteroGraph):
         self.g = g
         self.vals: Dict[Tuple[str, str], Array] = {}
+        self.hint: Dict = {}  # current op's Op-Spec ``tpu`` schedule dict
 
     def set(self, var: Var, val: Array) -> None:
         self.vals[(var.kind, var.name)] = val
@@ -112,7 +113,31 @@ def _exec_op(env: _Env, op: Op) -> None:
         if xv.kind in ("SRCNODE", "DSTNODE"):
             x = env.as_node(xv)
             side = "src" if xv.kind == "SRCNODE" else "dst"
-            env.set(out, ops.edge_typed_linear(g, x, w4, side=side)[:, 0])
+            strategy = env.hint.get("strategy")
+            if strategy == "gather_einsum":
+                # Op-Spec schedule override: tile-batched gather-einsum
+                # instead of the static-mix plan (GEMMSpec.tpu)
+                from ..ops.linear import _gather_edge_rows, \
+                    segment_matmul_rows
+
+                seg = g.edge_rel_seg
+                rows = _gather_edge_rows[side](x, g, seg)
+                y = segment_matmul_rows(rows, w4, seg)[:, 0]
+                env.set(out, seg.scatter_back(y))
+            elif strategy == "static_mix" and "static_topk" in env.hint:
+                from ..ops.linear import _gather_edge_rows, \
+                    segment_matmul_static_mix
+
+                seg = g.edge_rel_seg
+                rows = _gather_edge_rows[side](x, g, seg)
+                y = segment_matmul_static_mix(
+                    rows, w4, seg, k_static=int(env.hint["static_topk"])
+                )[:, 0]
+                env.set(out, seg.scatter_back(y))
+            else:
+                env.set(
+                    out, ops.edge_typed_linear(g, x, w4, side=side)[:, 0]
+                )
         else:
             # per-edge input rows times W[rel]
             x_e = env.as_edge(xv)
@@ -251,6 +276,14 @@ def _exec_op(env: _Env, op: Op) -> None:
     if k == "NodeSumAccumulation":
         v = env.as_edge(op.inputs["input"])
         v = g.edge_mask(v)
+        if env.hint.get("reduction") == "xla_scatter_add":
+            # Op-Spec schedule override: XLA scatter-add instead of the
+            # one-hot-MXU kernel (TraversalSpec.tpu["reduction"])
+            idx = g.src if out.kind == "SRCNODE" else g.dst
+            ns = g.src_space if out.kind == "SRCNODE" else g.num_nodes
+            # padding edges carry sentinel ids >= ns; scatter drops them
+            env.set(out, jax.ops.segment_sum(v, idx, num_segments=ns))
+            return
         if out.kind == "SRCNODE":
             env.set(out, ops.scatter_sum_src(g, v))
         else:
@@ -291,6 +324,16 @@ def _exec_op(env: _Env, op: Op) -> None:
     if k == "FusedEdgeSoftmaxAgg":
         logits = env.as_edge(op.inputs["logits"])
         msg = env.as_edge(op.inputs["msg"])
+        if env.hint.get("packing") == "split":
+            # Op-Spec schedule override: denominator and numerator reduce
+            # in SEPARATE passes (the unfused golden's two accumulation
+            # traversals) instead of the packed one-pass kernel
+            z = jnp.exp(logits)
+            z = g.edge_mask(z)
+            s = ops.scatter_sum_dst(g, z)
+            num = ops.scatter_sum_dst(g, z[..., None] * msg)
+            env.set(out, safe_div(num, s[..., None]))
+            return
         env.set(out, ops.edge_softmax_weighted_sum(g, logits, msg))
         return
 
@@ -303,9 +346,45 @@ def _exec_op(env: _Env, op: Op) -> None:
     raise NotImplementedError(f"no lowering for op kind {k}")
 
 
-def compile_program(prog: Program, outputs=None) -> Callable:
-    """Program -> ``fn(graph, inputs: dict[name], weights: dict[name]) ->
-    dict[name, Array]``, fully jit/grad-able."""
+def _spec_hints(opspec) -> Dict[int, Dict]:
+    """Map DAG op position -> ``tpu`` schedule dict of its Op-Spec.
+
+    ``schedule_program`` emits specs in DAG order, one per op except the
+    FusedEdgeSoftmaxAgg motif (two: the packed accumulate pass and the
+    node-space divide finish), so replaying the same walk recovers the
+    association without back-pointers."""
+    hints: Dict[int, Dict] = {}
+    dag_ops = opspec.dag.ops
+    si = 0
+    for pos, op in enumerate(dag_ops):
+        if si >= len(opspec.specs):
+            break
+        spec = opspec.specs[si]
+        h = dict(spec.tpu or {})
+        if op.kind == "FusedEdgeSoftmaxAgg" and si + 1 < len(opspec.specs):
+            # merge the finish traversal's hints (packed kernel + divide)
+            si += 1
+        si += 1
+        hints[pos] = h
+    return hints
+
+
+def compile_program(prog, outputs=None) -> Callable:
+    """Program (or scheduled :class:`~.opspec.OpSpecProgram`) ->
+    ``fn(graph, inputs: dict[name], weights: dict[name]) ->
+    dict[name, Array]``, fully jit/grad-able.
+
+    Given an ``OpSpecProgram`` (the Op-Spec SSA level,
+    ``compiler.opspec.schedule_program``), each spec's ``tpu`` schedule
+    dict steers the lowering — ``strategy``/``static_topk`` on GEMM
+    specs pick the segment-matmul plan, ``packing`` ("split") unfuses
+    the softmax-aggregate, ``reduction`` ("xla_scatter_add") swaps the
+    accumulation kernel — the role Op-Spec schedules play as codegen's
+    input in the reference (hrt/pyctor/ir/OpSpecSSA/codegen.py)."""
+    hints: Dict[int, Dict] = {}
+    if hasattr(prog, "dag") and hasattr(prog, "specs"):
+        hints = _spec_hints(prog)
+        prog = prog.dag
     prog.validate()
     if outputs is None:
         # final values: defined but never read afterwards
@@ -326,7 +405,8 @@ def compile_program(prog: Program, outputs=None) -> Callable:
             env.set(v, inputs[v.name])
         for v in prog.weights:
             env.set(v, weights[v.name])
-        for op in prog.ops:
+        for pos, op in enumerate(prog.ops):
+            env.hint = hints.get(pos, {})
             _exec_op(env, op)
         return {o.name: env.lookup(o)[0] for o in outputs}
 

@@ -38,6 +38,7 @@ from .ir import OP_DEFS, Op, Program, Var
 from .serialize import _extract_section, _strip_comments, loads as load_ssa
 
 # TPU schedule constants (the running kernels' actual parameters)
+from ..ops.linear import STATIC_MIX_TOPK
 from ..ops.pallas.seg_reduce import CHUNK as EDGE_CHUNK, NB as NODE_BLOCK
 
 # ---------------------------------------------------------------- specs
@@ -462,10 +463,18 @@ def schedule_program(prog: Program, tile: int = 128) -> OpSpecProgram:
                     },
                     edgewise_use_compaction={str(xv): compact},
                     tpu={
-                        "kernel": "segment_matmul_rows_pallas",
+                        # the runtime's measured default dispatch
+                        # (ops/linear.py::segment_matmul): static-hybrid
+                        # plan when relation offsets are host-known
+                        "kernel": "segment_matmul",
+                        "strategy": "static_mix",
+                        "static_topk": STATIC_MIX_TOPK,
                         "segments": seg,
                         "row_tile": tile,
-                        "weight_streaming": "scalar_prefetch(tile_seg)",
+                        "fallback": (
+                            "segment_matmul_rows_pallas"
+                            "(scalar_prefetch(tile_seg))"
+                        ),
                         "heads": "folded_minor",
                     },
                 )
@@ -540,7 +549,10 @@ def schedule_program(prog: Program, tile: int = 128) -> OpSpecProgram:
                     "node_block": NODE_BLOCK,
                     "edge_chunk": EDGE_CHUNK,
                     "reduction": "one_hot_mxu(bf16x3)",
-                    "packing": "denominator+numerator one pass",
+                    # "packed": denominator+numerator in one pass;
+                    # flip to "split" for two separate reduce passes —
+                    # honored by lower.compile_program(OpSpecProgram)
+                    "packing": "packed",
                 },
             )
             idx += 1

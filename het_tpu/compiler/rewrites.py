@@ -34,30 +34,51 @@ def _use_counts(prog: Program) -> Dict[Tuple[str, str], int]:
 
 
 def reorder_linear_operators(prog: Program) -> int:
-    """(x·W)·a -> x·(W·a).  Returns number of rewrites applied."""
+    """(x·W)·a -> x·(W·a).  Returns number of rewrites applied.
+
+    Matches the attention-vector inner product with the EDGETYPE weight on
+    EITHER side, and the typed dense with its input/weight slots in either
+    order — the reference's reordered golden
+    (hrt/pyctor/examples/inter-op-ssa/rgat_attn{,.reordered}.inter-op-ssa)
+    writes ``NodeDense(input=(W,EDGETYPE), weight=(DSTNODE,...))`` for the
+    destination side, so slot names alone don't identify the operands."""
     uses = _use_counts(prog)
     producers = prog.producers()
     n = 0
     new_ops: List[Op] = []
     removed: set = set()
+
+    def _dense_operands(dense):
+        """(node_input, edgetype_weight) of a typed dense, tolerating
+        swapped input/weight slots; None if not the shape we rewrite."""
+        a, b = dense.inputs.get("input"), dense.inputs.get("weight")
+        if a is None or b is None:
+            return None
+        for x, W in ((a, b), (b, a)):
+            if (
+                W.is_weight
+                and W.kind == "EDGETYPE"
+                and not x.is_weight
+                and x.kind in ("SRCNODE", "DSTNODE")
+            ):
+                return x, W
+        return None
+
     for i, op in enumerate(prog.ops):
-        if (
-            op.kind == "EdgeInnerProduct"
-            and op.inputs["left"].is_weight
-            and op.inputs["left"].kind == "EDGETYPE"
-        ):
-            y = op.inputs["right"]
+        if op.kind != "EdgeInnerProduct":
+            continue
+        lhs, rhs = op.inputs["left"], op.inputs["right"]
+        for a, y in ((lhs, rhs), (rhs, lhs)):
+            if not (a.is_weight and a.kind == "EDGETYPE") or y.is_weight:
+                continue
             dense = producers.get((y.kind, y.name))
             if (
                 dense is not None
                 and dense.kind in ("NodeDense", "EdgeDense")
-                and dense.inputs["weight"].kind == "EDGETYPE"
-                and dense.inputs["input"].kind in ("SRCNODE", "DSTNODE")
+                and _dense_operands(dense) is not None
                 and uses.get((y.kind, y.name), 0) == 1
             ):
-                a = op.inputs["left"]
-                W = dense.inputs["weight"]
-                x = dense.inputs["input"]
+                x, W = _dense_operands(dense)
                 w_new = Var.weight(f"{W.name}_{a.name}_fused", "EDGETYPE")
                 new_ops.append(
                     Op("WeightDense", {"left": W, "right": a}, (w_new,))
@@ -66,6 +87,7 @@ def reorder_linear_operators(prog: Program) -> int:
                 op.inputs = {"left": x, "right": w_new}
                 removed.add(id(dense))
                 n += 1
+                break
     if n:
         prog.ops = new_ops + [op for op in prog.ops if id(op) not in removed]
     return n

@@ -50,7 +50,8 @@ class NeighborSampler:
 
     def sample(self, seeds: np.ndarray, *, tile: int = 8,
                pad_edges_to: Optional[int] = None,
-               pad_nodes_to: Optional[int] = None) -> tuple:
+               pad_nodes_to: Optional[int] = None,
+               build_compact: bool = False) -> tuple:
         """Returns (subgraph, node_map) where node_map[i] = original id of
         local node i; seeds occupy the first ``len(seeds)`` local ids.
 
@@ -76,7 +77,7 @@ class NeighborSampler:
             edges_s, edges_d, edges_r, node_map = got
             return self._finalize(
                 list(edges_s), list(edges_d), list(edges_r), node_map,
-                tile, pad_edges_to, pad_nodes_to,
+                tile, pad_edges_to, pad_nodes_to, build_compact,
             )
         frontier = seeds
         edges_s, edges_d, edges_r = [], [], []
@@ -112,11 +113,11 @@ class NeighborSampler:
             node_map[local] = orig
         return self._finalize(
             edges_s, edges_d, edges_r, node_map, tile, pad_edges_to,
-            pad_nodes_to,
+            pad_nodes_to, build_compact,
         )
 
     def _finalize(self, edges_s, edges_d, edges_r, node_map, tile,
-                  pad_edges_to, pad_nodes_to):
+                  pad_edges_to, pad_nodes_to, build_compact=False):
         n_local = len(node_map)
         # shape-stable batches: pad node count (extra isolated nodes,
         # mapped to node 0's features) and edge/segment row totals so jit
@@ -136,8 +137,19 @@ class NeighborSampler:
                 + self.num_rels * t,
                 "ntype_rows": -(-num_nodes // t) * t,
             }
-        # compact indices are per-batch-shaped (would defeat jit caching)
-        # and unused in minibatch mode
+            if build_compact:
+                # compact tables are per-batch-shaped; force them to the
+                # worst-case static bound (every edge its own unique
+                # (rel, node) pair) so jit caches hit across batches —
+                # same mechanism as compact-on-shards
+                # (parallel/partition.py::_force_size_keys)
+                rows_cap = -(-pad_edges_to // t) * t + self.num_rels * t
+                force.update(
+                    compact_src_pairs=pad_edges_to,
+                    compact_dst_pairs=pad_edges_to,
+                    compact_src_rows=rows_cap,
+                    compact_dst_rows=rows_cap,
+                )
         sub = build_heterograph(
             np.asarray(edges_s),
             np.asarray(edges_d),
@@ -146,7 +158,7 @@ class NeighborSampler:
             num_rels=self.num_rels,
             tile=tile,
             force_sizes=force,
-            build_compact=False,
+            build_compact=build_compact,
         )
         return sub, node_map
 

@@ -122,16 +122,26 @@ def scatter_sum_dst(g, edge_vals: Array) -> Array:
 
 @jax.custom_vjp
 def _scatter_sum_src_pallas(vals2d: Array, g) -> Array:
-    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+    # packed entry point: narrow payloads fold k edges per 128-lane row
+    # instead of zero-padding to 128 (half/quarter the kernel bytes), and
+    # the src-order permute fuses into the payload-pack pass (one gather,
+    # no separately materialized permuted buffer) — round-3 probe: the
+    # pad+permute form measured 5.0 ms for (EP, 64) at mag scale
+    from .pallas.seg_reduce import seg_sum_sorted_packed
 
-    vals_p = take_rows(vals2d, g.out_perm)
-    return seg_sum_sorted_pallas_raw(
-        vals_p,
+    C = vals2d.shape[1]
+    out = seg_sum_sorted_packed(
+        [vals2d],
+        C,
+        vals2d.dtype,
         g.out_row_ptr,
         g.src_space,
-        g.num_padded_edges - g.num_edges,
-        tables=g.out_tables,
+        g.num_padded_edges,
+        g.num_edges,
+        g.out_tables,
+        perm=g.out_perm,
     )
+    return out[:, :C]
 
 
 def _sss_fwd(vals2d, g):

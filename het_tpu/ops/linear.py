@@ -364,15 +364,43 @@ def _make_edge_row_gather(side: str):
         return gather(x, g, seg), (g, seg)
 
     def bwd(res, ct_rows):
-        from .common import scatter_sum_dst, scatter_sum_src, take_rows
+        from .common import scatter_sum_dst, take_rows
+        from .pallas.seg_reduce import seg_sum_sorted_packed
+        from . import get_backend
 
         g, seg = res
+        if side == "src" and get_backend() == "pallas":
+            # COMPOSED permute (round-3 probe): rows -> canon (seg.inv)
+            # and canon -> src order (g.out_perm) are both full-payload
+            # row gathers (~2.2 ms each for (EP, 64) at mag scale); the
+            # composition inv[out_perm] is a cheap (EP,) int gather, so
+            # the payload moves ONCE, fused into the reduce's pack pass.
+            shape = ct_rows.shape
+            flat = ct_rows.reshape(shape[0], -1)
+            C = flat.shape[1]
+            perm = take_rows(seg.inv, g.out_perm)
+            ct_src = take_rows(flat, perm)  # (EP, C) src-sorted
+            out = seg_sum_sorted_packed(
+                [ct_src],
+                C,
+                flat.dtype,
+                g.out_row_ptr,
+                g.src_space,
+                g.num_padded_edges,
+                g.num_edges,
+                g.out_tables,
+            )[:, :C]
+            dx = out.reshape((g.src_space,) + shape[1:]).astype(
+                ct_rows.dtype
+            )
+            return dx, None, None
         ct_e = take_rows(ct_rows, seg.inv)  # injective rows -> edges
-        dx = (
-            scatter_sum_src(g, ct_e)
-            if side == "src"
-            else scatter_sum_dst(g, ct_e)
-        )
+        if side == "src":
+            from .common import scatter_sum_src
+
+            dx = scatter_sum_src(g, ct_e)
+        else:
+            dx = scatter_sum_dst(g, ct_e)
         return dx, None, None
 
     gather.defvjp(fwd, bwd)
@@ -411,21 +439,27 @@ def _cg_bwd(info, ct):
     # transpose of the (node -> compact row) gather: permute cotangent rows
     # into node-sorted order and run the *sorted* one-hot segment reduction
     # (invalid padding rows sort past node_row_ptr[-1] and are dropped by
-    # the kernel's range compare)
-    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+    # the kernel's range compare).  Packed entry: narrow payloads fold
+    # instead of zero-padding to 128 lanes, and the permute fuses into the
+    # payload-pack pass.
+    from .pallas.seg_reduce import seg_sum_sorted_packed
 
     shape = ct.shape
     flat = ct.reshape(shape[0], -1)
-    vals_p = take_rows(flat, info.node_sort_perm)
+    C = flat.shape[1]
     N = info.node_row_ptr.shape[0] - 1
-    out = seg_sum_sorted_pallas_raw(
-        vals_p,
+    out = seg_sum_sorted_packed(
+        [flat],
+        C,
+        flat.dtype,
         info.node_row_ptr,
         N,
-        info.seg.n_rows - info.seg.n_src,  # padding rows = DMA guard
-        tables=info.node_tables,
-    )
-    return out.reshape((N,) + shape[1:]), None, None
+        info.seg.n_rows,
+        info.seg.n_src,
+        info.node_tables,
+        perm=info.node_sort_perm,
+    )[:, :C]
+    return out.reshape((N,) + shape[1:]).astype(ct.dtype), None, None
 
 
 _compact_gather.defvjp(_cg_fwd, _cg_bwd)
@@ -468,21 +502,25 @@ def _ecs_bwd(res, ct):
     # reference's single-sided compact aggregation kernels
     # (rgat_layers_and_funcs.py:826, rgcn_layers_and_funcs.py:782) — no
     # unsorted scatter anywhere (measured ~6 ms -> ~1 ms at mag scale)
-    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
+    from .pallas.seg_reduce import seg_sum_sorted_packed
 
     info, g = res
     shape = ct.shape
     flat = ct.reshape(shape[0], -1)
-    vals_p = take_rows(flat, info.edge_sort_perm)
+    C = flat.shape[1]
     n_rows = info.seg.n_rows
-    out = seg_sum_sorted_pallas_raw(
-        vals_p,
+    out = seg_sum_sorted_packed(
+        [flat],
+        C,
+        flat.dtype,
         info.edge_row_ptr,
         n_rows,
-        g.num_padded_edges - g.num_edges,
-        tables=info.edge_tables,
-    )
-    return out.reshape((n_rows,) + shape[1:]), None, None
+        g.num_padded_edges,
+        g.num_edges,
+        info.edge_tables,
+        perm=info.edge_sort_perm,
+    )[:, :C]
+    return out.reshape((n_rows,) + shape[1:]).astype(ct.dtype), None, None
 
 
 _expand_compact_sorted.defvjp(_ecs_fwd, _ecs_bwd)
@@ -528,7 +566,6 @@ def _cdi_fwd(c2d, x, g):
 
 def _cdi_bwd(res, ct):
     from .common import scatter_sum_src
-    from .pallas.seg_reduce import seg_sum_sorted_pallas_raw
 
     c2d, x, g = res
     infoD = g.compact_dst
@@ -537,20 +574,21 @@ def _cdi_bwd(res, ct):
     ct = ct.astype(jnp.float32)
     x_e = gather_nodes(x, g.src).reshape(EP, H, dk).astype(jnp.float32)
     # d_c: cotangents reduce into dst-compact rows over canonical
-    # (dst, rel) runs — contiguous by construction, no edge permute
+    # (dst, rel) runs — contiguous by construction, no edge permute;
+    # packed entry folds narrow H*dk payloads instead of zero-padding
     payload_c = (ct[..., None] * x_e).reshape(EP, H * dk)
-    pad = -(H * dk) % 128
-    if pad:
-        payload_c = jnp.concatenate(
-            [payload_c, jnp.zeros((EP, pad), jnp.float32)], axis=1
-        )
     n_runs = int(infoD.canon_ptr.shape[0]) - 1
-    red = seg_sum_sorted_pallas_raw(
-        payload_c,
+    from .pallas.seg_reduce import seg_sum_sorted_packed
+
+    red = seg_sum_sorted_packed(
+        [payload_c],
+        H * dk,
+        payload_c.dtype,
         infoD.canon_ptr,
         n_runs,
-        EP - g.num_edges,
-        tables=infoD.canon_tables,
+        EP,
+        g.num_edges,
+        infoD.canon_tables,
     )
     d_c = gather_nodes(red, infoD.canon_to_row)[:, : H * dk]
     # d_x: src-sorted segment reduction (the framework's fast src scatter)

@@ -615,8 +615,21 @@ def seg_sum_sorted_packed(
 @jax.custom_vjp
 def _seg_sum_core(vals2d: Array, g: HeteroGraph) -> Array:
     # dtype-stable (bf16 in -> bf16 out) so the custom-vjp cotangent
-    # structure matches; the raw kernel's f32 accumulator is internal
-    return seg_sum_dst_pallas_raw(g, vals2d).astype(vals2d.dtype)
+    # structure matches; the raw kernel's f32 accumulator is internal.
+    # Narrow payloads ride the folded layout (k edges per 128-lane row)
+    # instead of zero-padding to 128 lanes.
+    C = vals2d.shape[1]
+    out = seg_sum_sorted_packed(
+        [vals2d],
+        C,
+        vals2d.dtype,
+        g.in_row_ptr,
+        g.num_nodes,
+        g.num_padded_edges,
+        g.num_edges,
+        g.in_tables,
+    )
+    return out[:, :C].astype(vals2d.dtype)
 
 
 def _ssc_fwd(vals2d, g):

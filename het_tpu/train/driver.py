@@ -228,32 +228,53 @@ def train(
         else None
     )
 
+    # Epoch loop timing without a per-epoch host sync (VERDICT r2 weak #6:
+    # each force() over the remote tunnel costs ~52 ms RTT, up to 8x the
+    # real step on small graphs).  Steps are enqueued asynchronously and
+    # ONE sync closes each K-epoch block; per-epoch time = block / K.
+    # Per-epoch losses stay on device during the loop and are fetched
+    # afterwards (off the timed path).  Early stopping needs a host-side
+    # loss per epoch, so patience > 0 keeps the per-epoch sync.
+    sync_every = 1 if stopper is not None else min(
+        8, max(1, cfg.num_epochs)
+    )
     fwd_times, bwd_times, total_times, losses = [], [], [], []
+    dev_losses = []
+    block_t0 = time.perf_counter()
+    block_n = 0
     for epoch in range(cfg.num_epochs):
-        k_drop, k1, k2 = jax.random.split(k_drop, 3)
-        # force() does a tiny host fetch: block_until_ready is a no-op on
-        # fully-async dispatch runtimes (see utils/timing.py)
-        t0 = time.perf_counter()
-        out = fwd_jit(g, params, k1)
-        force(out)
-        t_fwd = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
+        k_drop, k2 = jax.random.split(k_drop)
         params, opt_state, scale_state, loss = train_step(
             g, params, opt_state, scale_state, k2
         )
-        force(loss)
-        t_total = time.perf_counter() - t0
-
-        fwd_times.append(t_fwd * 1e3)
-        bwd_times.append(max(t_total - t_fwd, 0.0) * 1e3)
-        total_times.append((t_total + t_fwd) * 1e3)
-        losses.append(float(loss))
-        if stopper is not None and stopper.update(losses[-1], epoch):
+        dev_losses.append(loss)
+        block_n += 1
+        if block_n == sync_every or epoch == cfg.num_epochs - 1:
+            force(loss)
+            per_epoch = (time.perf_counter() - block_t0) / block_n * 1e3
+            total_times.extend([per_epoch] * block_n)
+            block_t0 = time.perf_counter()
+            block_n = 0
+        if stopper is not None and stopper.update(
+            float(dev_losses[-1]), epoch
+        ):
             break
+    losses = [float(v) for v in jax.device_get(dev_losses)]
+    total_times = total_times[: len(losses)]
+
+    # fwd/bwd split: chained-slope device times on the settled params
+    # (distinct chained work per link — no per-epoch RTT, no result cache)
+    from ..utils.timing import op_time_ms
+
+    if cfg.num_epochs > 0:
+        t_fwd_ms = op_time_ms(
+            lambda p: fwd_jit(g, p, k_drop), params, n1=2, n2=10, trials=2
+        )
+        fwd_times = [t_fwd_ms] * len(total_times)
+        bwd_times = [max(t - t_fwd_ms, 0.0) for t in total_times]
 
     # reference metric: mean over last 3/4 of epochs (RGNNUtils.py:364-384)
-    cut = len(fwd_times) // 4
+    cut = len(total_times) // 4
 
     def _mean(xs):
         return float(np.mean(xs[cut:])) if xs else float("nan")
