@@ -5,9 +5,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 * metric  — edges/s/chip for a full RGAT forward+backward (value_and_grad)
             on the largest available ogbn-mag data (the reference's own
             .npy shard format), Pallas backend.
-* vs_baseline — speedup over this framework's pure-XLA op path on the same
-            config (the reference publishes no numbers — BASELINE.md — so
-            the portable XLA lowering is the measurable baseline).
+* vs_baseline — LIKE-FOR-LIKE speedup of the Pallas op path over this
+            framework's pure-XLA op path at the same precision and the
+            same optimization flags (compact + multiply_first).  The
+            reference publishes no absolute numbers (BASELINE.md), so the
+            portable XLA lowering is the measurable baseline.  The bf16
+            ratio (also like-for-like) and the absolute times of every
+            variant are in ``detail``.
+* detail.pct_of_roofline — measured step time vs an analytic HBM
+            lower bound for this exact algorithm
+            (utils/profiling.rgat_compact_step_roofline_ms).
 
 Timing uses chained-slope measurement (het_tpu/utils/timing.py) because the
 runtime dispatch is fully asynchronous.
@@ -26,6 +33,7 @@ def main() -> None:
     from het_tpu import ops
     from het_tpu.data import load_dataset
     from het_tpu.models import RGATModel
+    from het_tpu.utils.profiling import rgat_compact_step_roofline_ms
     from het_tpu.utils.timing import op_time_ms
 
     heads, f_in, hidden = 4, 64, 64
@@ -75,27 +83,48 @@ def main() -> None:
         finally:
             ops.set_backend("xla")
 
-    # four variants, each measured for real (no aliasing — ADVICE r1):
-    # portable XLA lowering (baseline), plain Pallas, Pallas with Hector's
-    # signature optimization flags (headline), and the same in bf16
-    t_xla = timed("xla")
-    t_pallas = timed("pallas")
-    t_opt = timed("pallas", compact=True, multiply_first=True)
-    t_bf16 = timed("pallas", bf16=True, compact=True, multiply_first=True)
-    t_best = min(t_xla, t_pallas, t_opt, t_bf16)
+    flags = dict(compact=True, multiply_first=True)
+    # six variants, each measured for real (no aliasing — ADVICE r1), so
+    # every speedup below is like-for-like in precision AND flags:
+    t_xla_plain = timed("xla")                       # unflagged XLA
+    t_pallas_plain = timed("pallas")                 # unflagged Pallas
+    t_xla_opt = timed("xla", **flags)                # flagged XLA, f32
+    t_opt = timed("pallas", **flags)                 # flagged Pallas, f32
+    t_xla_bf16 = timed("xla", bf16=True, **flags)    # flagged XLA, bf16
+    t_bf16 = timed("pallas", bf16=True, **flags)     # flagged Pallas, bf16
+
+    t_best = min(t_pallas_plain, t_opt, t_bf16)
     edges_per_s = g.num_edges / (t_best / 1e3)
+    # the 1-layer model's output width is num_classes (dims = [f_in, 8]),
+    # so the per-head width in the step being timed is 8 // heads
+    roof_f32 = rgat_compact_step_roofline_ms(
+        g, f_in, heads, 8 // heads, 8, itemsize=4
+    )
+    roof_bf16 = rgat_compact_step_roofline_ms(
+        g, f_in, heads, 8 // heads, 8, itemsize=2
+    )
     print(
         json.dumps(
             {
                 "metric": "RGAT fwd+bwd edges/s on ogbn-mag (1 chip)",
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(t_xla / t_best, 3),
+                # headline ratio is f32-vs-f32 at identical flags
+                "vs_baseline": round(t_xla_opt / t_opt, 3),
                 "detail": {
-                    "t_pallas_ms": round(t_pallas, 3),
+                    "t_pallas_ms": round(t_pallas_plain, 3),
                     "t_pallas_compact_multfirst_ms": round(t_opt, 3),
                     "t_bf16_compact_multfirst_ms": round(t_bf16, 3),
-                    "t_xla_ms": round(t_xla, 3),
+                    "t_xla_plain_ms": round(t_xla_plain, 3),
+                    "t_xla_compact_multfirst_ms": round(t_xla_opt, 3),
+                    "t_xla_bf16_compact_multfirst_ms": round(t_xla_bf16, 3),
+                    "vs_baseline_f32": round(t_xla_opt / t_opt, 3),
+                    "vs_baseline_bf16": round(t_xla_bf16 / t_bf16, 3),
+                    "vs_xla_plain_best": round(t_xla_plain / t_best, 3),
+                    "pct_of_roofline_f32": round(100 * roof_f32 / t_opt, 1),
+                    "pct_of_roofline_bf16": round(
+                        100 * roof_bf16 / t_bf16, 1
+                    ),
                     "num_edges": g.num_edges,
                     "num_nodes": g.num_nodes,
                     "config": {

@@ -26,4 +26,22 @@ Package layout (reference layer map: /root/reference SURVEY — see SURVEY.md):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: this framework's graphs have stable
+# shapes, so across processes (benchmarks, drivers, tests) identical HLO
+# recompiles constantly — and on a remote-tunneled TPU each compile costs
+# minutes of round-trips.  Opt out by setting JAX_COMPILATION_CACHE_DIR=""
+# or pre-configuring jax yourself before importing het_tpu.
+import os as _os
+
+import jax as _jax
+
+if (
+    _jax.config.jax_compilation_cache_dir is None
+    and _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None
+):
+    _jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/het_tpu_jax_cache"
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import graph  # noqa: F401

@@ -468,7 +468,7 @@ def schedule_program(prog: Program, tile: int = 128) -> OpSpecProgram:
                         # plan when relation offsets are host-known
                         "kernel": "segment_matmul",
                         "strategy": "static_mix",
-                        "static_topk": STATIC_MIX_TOPK,
+                        "static_topk": STATIC_MIX_TOPK(),
                         "segments": seg,
                         "row_tile": tile,
                         "fallback": (

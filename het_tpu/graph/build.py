@@ -28,13 +28,17 @@ __all__ = [
     "round_up",
 ]
 
-# node-tile width of the one-hot segment-reduce kernels (must match
-# ops/pallas/seg_reduce.NB); tables are precomputed here because on-device
-# scalar-prefetch production costs ~1 ms per kernel call (see TileTables)
-KERNEL_NB = 128
+def KERNEL_NB() -> int:
+    """Node-tile width of the one-hot segment-reduce kernels (must match
+    ops/pallas/seg_reduce.NB, both resolved from the per-TPU-generation
+    tuning table); tables are precomputed here because on-device
+    scalar-prefetch production costs ~1 ms per kernel call (TileTables)."""
+    from ..ops.pallas.tuning import get_table
+
+    return get_table().nb
 
 
-def build_tile_tables(ptr: np.ndarray, N: int, nb: int = KERNEL_NB) -> TileTables:
+def build_tile_tables(ptr: np.ndarray, N: int, nb: int = None) -> TileTables:
     """Host (numpy) mirror of seg_reduce._tables_from_ptr (tile count
     padded to the kernel's super-block multiple; pad tiles are empty),
     plus the flattened (tile x edge-block) work list that drives the
@@ -44,6 +48,8 @@ def build_tile_tables(ptr: np.ndarray, N: int, nb: int = KERNEL_NB) -> TileTable
         TABLE_PAD,
     )
 
+    if nb is None:
+        nb = KERNEL_NB()
     ptr = np.asarray(ptr)
     n_tiles = -(-(-(-N // nb)) // TABLE_PAD) * TABLE_PAD if N else 0
     idx = np.minimum(np.arange(n_tiles + 1, dtype=np.int64) * nb, N)

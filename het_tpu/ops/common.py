@@ -21,6 +21,42 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def match_vma(ref: Array, x: Array) -> Array:
+    """Promote ``x``'s varying-manual-axes set to include ``ref``'s
+    (``shard_map(check_vma=True)`` support).
+
+    custom_vjp boundaries are opaque to shard_map's static replication
+    checker, so a REPLICATED operand (typically a weight) entering one next
+    to shard-varying data leaves the checker unable to prove its gradient
+    psum-reduced.  Casting it to varying first moves the cast's transpose
+    (``psum_invariant`` over the mesh axis) OUTSIDE the custom_vjp where
+    the checker can see it.  No-op outside shard_map, when vma already
+    matches, and on backends without vma typing."""
+    try:
+        want = jax.typeof(ref).vma - jax.typeof(x).vma
+    except (AttributeError, TypeError):
+        return x
+    for ax in want:
+        x = jax.lax.pcast(x, ax, to="varying")
+    return x
+
+
+def out_struct(shape, dtype, *operands) -> jax.ShapeDtypeStruct:
+    """``jax.ShapeDtypeStruct`` for a pallas_call output whose vma (varying
+    manual axes) is the union of the operands' — required under
+    ``shard_map(check_vma=True)``, harmless elsewhere."""
+    vma = frozenset()
+    for x in operands:
+        try:
+            vma |= jax.typeof(x).vma
+        except (AttributeError, TypeError):
+            pass
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except TypeError:  # older jax without the vma kwarg
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def pad_zero_row(x: Array) -> Array:
     """Append one all-zero row along axis 0."""
     return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)

@@ -62,11 +62,15 @@ def segment_matmul_rows(
     return y.reshape(seg.n_rows, H, O).astype(x_rows.dtype)
 
 
-# Number of largest relations given dedicated static-sliced matmuls in the
-# hybrid large-R path (device sweep: top64 = 2.61 ms, top128 = 2.68 ms,
-# top32 = 3.18 ms, all-static = 3.30 ms, gather-einsum = 3.43 ms at
-# wikikg2 scale — docs/SEGMM_STRATEGIES_r2.json).
-STATIC_MIX_TOPK = 64
+def STATIC_MIX_TOPK() -> int:
+    """Number of largest relations given dedicated static-sliced matmuls in
+    the hybrid large-R path (device sweep: top64 = 2.61 ms, top128 =
+    2.68 ms, top32 = 3.18 ms, all-static = 3.30 ms, gather-einsum = 3.43 ms
+    at wikikg2 scale — docs/SEGMM_STRATEGIES_r2.json).  Resolved through
+    the per-TPU-generation tuning table (ops/pallas/tuning.py)."""
+    from .pallas.tuning import get_table
+
+    return get_table().static_mix_topk
 
 
 @lru_cache(maxsize=None)
@@ -225,9 +229,13 @@ _static_mix_vjp.defvjp(_smv_fwd, _smv_bwd)
 
 
 def segment_matmul_static_mix(
-    x_rows: Array, w: Array, seg: Segments, *, k_static: int = STATIC_MIX_TOPK
+    x_rows: Array, w: Array, seg: Segments, *, k_static: int = None
 ) -> Array:
-    return _static_mix_vjp(x_rows, w, seg, k_static)
+    from .common import match_vma
+
+    if k_static is None:
+        k_static = STATIC_MIX_TOPK()
+    return _static_mix_vjp(x_rows, match_vma(x_rows, w), seg, k_static)
 
 
 def ragged_segment_matmul(
@@ -293,7 +301,11 @@ def segment_matmul(x_rows: Array, w: Array, seg: Segments) -> Array:
         if seg.seg_ptrs_static is not None:
             return segment_matmul_static_mix(x_rows, w, seg)
         if w.size * np.dtype(w.dtype).itemsize <= W_RESIDENT_BYTES:
-            return segment_matmul_rows_pallas(x_rows, w, seg)
+            from .common import match_vma
+
+            return segment_matmul_rows_pallas(
+                x_rows, match_vma(x_rows, w), seg
+            )
     return segment_matmul_rows(x_rows, w, seg)
 
 
@@ -675,7 +687,11 @@ def edge_rel_inner(g: HeteroGraph, feat_e: Array, a: Array) -> Array:
     Pallas kernel makes it a sorted revisit accumulation.  Traced operands
     flow through arguments (shard_map-safe); ``seg`` is a pytree argument
     whose cotangent is None."""
-    return _edge_rel_inner_core(feat_e, a, g.rel, g.edge_rel_seg)
+    from .common import match_vma
+
+    return _edge_rel_inner_core(
+        feat_e, match_vma(feat_e, a), g.rel, g.edge_rel_seg
+    )
 
 
 def ntype_linear(g: HeteroGraph, x: Array, w: Array) -> Array:

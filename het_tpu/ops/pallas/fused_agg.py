@@ -883,13 +883,15 @@ def hgt_fused_compact_attention(
     msg_c (UCs, H, dk) source-compact messages; attq_c (UCd, H, dk)
     destination-compact attn·q rows; k_nodes (src_space, H, dk); mu (R, H)
     = relation_pri / sqrt(dk).  Returns (N, H, dk)."""
+    from ..common import match_vma
+
     UCs, H, dk = msg_c.shape
     op = _make_hgt_compact_attention_op(clip)
     out = op(
         msg_c.reshape(UCs, H * dk),
         attq_c.reshape(attq_c.shape[0], H * dk),
         k_nodes.reshape(k_nodes.shape[0], H * dk),
-        mu,
+        match_vma(msg_c, mu),  # mu is a replicated param under shard_map
         g,
     )
     return out

@@ -36,21 +36,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..common import out_struct
 from ...graph.structures import HeteroGraph
 from ..common import gather_dst
 
 Array = jax.Array
 
-NB = 128  # nodes per output tile
+# Kernel geometry resolves through the per-TPU-generation tuning table
+# (tuning.py, the analogue of the reference's CUDA_ARCHS-keyed macros.h);
+# this module is imported lazily at first pallas-op use, after the JAX
+# backend is settled.
+from .tuning import get_table as _tune  # noqa: E402
+
+NB = _tune().nb  # nodes per output tile
 # edges per DMA chunk (max kernel only; the sum path is work-list driven)
-CHUNK = 512
+CHUNK = _tune().chunk_max
 # edges per work-item block of the pipelined sum kernel.  The 1-D grid
 # runs over host-precomputed (tile, edge-block) work items so Pallas's
 # automatic pipeline streams the payload DMA continuously across tiles —
 # the round-2 per-tile manual start/wait serialized on DMA latency
 # (1.57 ms to move 22 MB at mag scale; the work-list form is
 # bandwidth/MXU-bound).
-CHUNK_EDGES = 1024
+CHUNK_EDGES = _tune().chunk_edges
 # tile-table length padding (kept for table-shape stability)
 TABLE_PAD = 8
 
@@ -283,7 +290,7 @@ def seg_max_dst_pallas_raw(
     out = pl.pallas_call(
         _make_max_kernel(C_orig, nb, chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, C), vals2d.dtype),
+        out_shape=out_struct((n_tiles * nb, C), vals2d.dtype, vals2d),
         interpret=interpret,
     )(tptr, vals2d, lower, upper)
     return out[:N, :C_orig]
@@ -390,7 +397,7 @@ def _seg_sum_wl(
     out = pl.pallas_call(
         _make_wl_kernel(W, nb, rows_pb, k, bf16_vals, interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, W), out_dtype),
+        out_shape=out_struct((n_tiles * nb, W), out_dtype, vals),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * n_edges_cap * nb * (W // k))
@@ -560,9 +567,12 @@ def fold_width(c: int) -> int:
     the extra sub-dots on sparse segmentations (compact row_ptrs average a
     few edges per row) outweighs the DMA saved (device sweep: k=16 is
     1.7-3.5x slower than k=4-8 on canon/edge compact tables)."""
-    for cp in (16, 32, 64):
+    floor = _tune().fold_floor
+    cp = floor
+    while cp <= 64:
         if cp >= c:
             return cp
+        cp *= 2
     # no fold: the unfolded kernel takes any multiple of 128 lanes
     return -(-c // 128) * 128
 

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...graph.structures import Segments
+from ..common import out_struct
 
 Array = jax.Array
 
@@ -70,17 +71,22 @@ def _fold_x(x_rows: Array) -> Tuple[Array, bool, int]:
     return x_rows, False, 1
 
 
+from .tuning import get_table as _tune  # noqa: E402
+
 # A weight tensor at most this large stays VMEM-resident for the whole
 # kernel (the fast path); larger weights are streamed per relation tile.
-W_RESIDENT_BYTES = 4 * 1024 * 1024
+# Budget keyed on the TPU generation (tuning.py).
+W_RESIDENT_BYTES = _tune().w_resident_bytes
 
 
 def _choose_block_rows(
-    tile: int, n_rows: int, target: int = 1024, max_g: int = 8
+    tile: int, n_rows: int, target: int = None, max_g: int = None
 ) -> int:
     """Super-block size: multiple of ``tile`` near ``target`` rows, to
     amortize per-grid-step overhead over many MXU calls.  The sub-tile loop
     is unrolled in the kernel, so cap the iteration count."""
+    target = target or _tune().mm_block_rows
+    max_g = max_g or _tune().mm_max_g
     g = max(min(target, n_rows) // tile, 1)
     return tile * min(g, max_g)
 
@@ -148,7 +154,7 @@ def _fwd_resident(x_rows, w, seg, interpret):
         _make_fwd_resident_kernel(H, Hx, K, O, T, G, nt,
                                   _dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
+        out_shape=out_struct((seg.n_rows, H * O), x_rows.dtype, x_rows, w),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * seg.n_rows * H * K * O,
@@ -242,7 +248,7 @@ def _fwd_streamed(x_rows, w, seg, interpret):
         _make_fwd_stream_kernel(H, Hx, K, O, T, G, nt,
                                 _dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((seg.n_rows, H * O), x_rows.dtype),
+        out_shape=out_struct((seg.n_rows, H * O), x_rows.dtype, x_rows, w),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * seg.n_rows * H * K * O,
@@ -342,7 +348,8 @@ def _dx_resident(ct_rows, w, seg, x3, x_heads, interpret):
         _make_dx_resident_kernel(H, Hx, K, O, T, G, nt,
                                  _dot_precision(ct_rows.dtype)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
+        out_shape=out_struct((seg.n_rows, out_cols), ct_rows.dtype,
+                             ct_rows, w),
         interpret=interpret,
     )(jnp.asarray(seg.tile_seg), ct_rows.reshape(seg.n_rows, H * O), wt_in)
     if x3:
@@ -397,10 +404,10 @@ def _dw_resident(x_rows, ct_rows, w_shape, seg, interpret):
     BT = _choose_block_rows(T, seg.n_rows)
     G = BT // T
     if Hx == 1:
-        out_shape = jax.ShapeDtypeStruct((S, K, H * O), jnp.float32)
+        out_shape = out_struct((S, K, H * O), jnp.float32, x_rows, ct_rows)
         out_spec = pl.BlockSpec((S, K, H * O), lambda i, ts: (0, 0, 0))
     else:
-        out_shape = jax.ShapeDtypeStruct((S, H, K, O), jnp.float32)
+        out_shape = out_struct((S, H, K, O), jnp.float32, x_rows, ct_rows)
         out_spec = pl.BlockSpec((S, H, K, O), lambda i, ts: (0, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -519,7 +526,8 @@ def segment_matmul_rows_dx(
         _make_dx_stream_kernel(H, Hx, K, O, T, G, nt,
                                _dot_precision(ct_rows.dtype)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((seg.n_rows, out_cols), ct_rows.dtype),
+        out_shape=out_struct((seg.n_rows, out_cols), ct_rows.dtype,
+                             ct_rows, w),
         interpret=interpret,
     )(ts, wcopy, ct_rows.reshape(seg.n_rows, H * O), wt_in)
     if x3:
@@ -595,7 +603,7 @@ def segment_matmul_rows_dw(
     return pl.pallas_call(
         _make_dw_kernel(H, Hx, K, O, prec=_dot_precision(x_rows.dtype)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, H, K, O), jnp.float32),
+        out_shape=out_struct((S, H, K, O), jnp.float32, x_rows, ct_rows),
         interpret=interpret,
     )(ts, first, xf, ct_rows.reshape(seg.n_rows, H * O))
 

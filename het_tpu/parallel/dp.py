@@ -15,7 +15,7 @@ hiding overlaps the gather with the local typed matmuls.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +60,7 @@ def dp_apply(
     mesh: Mesh,
     *,
     axis: str = "dp",
-    check_vma: bool = False,
+    check_vma: Optional[bool] = None,
 ):
     """Run ``apply_fn(params, g_local, x_local)`` on every shard.
 
@@ -74,18 +74,27 @@ def dp_apply(
         g_local = unstack_local(g_stack)
         return apply_fn(params, g_local, x_loc)
 
+    if check_vma is None:
+        # vma-clean by default: replicated weights entering custom_vjp
+        # boundaries are explicitly pcast-to-varying at the op wrappers
+        # (ops/common.py match_vma), so the pcast's transpose — the psum
+        # the static replication checker needs to see — lands outside the
+        # opaque custom_vjp and the shard_map TRANSPOSE type-checks; pallas
+        # out_shapes carry operand vma (ops/common.py out_struct).  The one
+        # combination that cannot type-check is pallas INTERPRET mode (CPU
+        # test meshes): the hlo interpreter replays kernel jaxprs under the
+        # vma checker, where even `ref * const` mixes varying and invariant
+        # operands — a pallas-interpret limitation, not an op-layer one.
+        from ..ops import get_backend
+
+        check_vma = not (
+            get_backend() == "pallas" and jax.default_backend() != "tpu"
+        )
     return jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(axis),
-        # default False: the custom_vjp ops' cotangents defeat the
-        # static varying-axes inference in the shard_map TRANSPOSE (the
-        # replicated-params grad out_spec cannot be proven psum-reduced
-        # over 'dp' through an opaque custom_vjp boundary — verified: the
-        # forward passes with check_vma=True, value_and_grad does not).
-        # The transpose math itself (psum of replicated-param grads) is
-        # unchanged; parity vs single chip is tested incl. grads.
         check_vma=check_vma,
     )(params, sg, x)
 

@@ -30,11 +30,22 @@ def trace(logdir: str = "/tmp/het_tpu_trace"):
         jax.profiler.stop_trace()
 
 
-# measured machine ceilings; override per platform
+# measured machine ceilings for THIS chip (TPU v5e) — kept as the
+# documented default; ``device_peaks()`` resolves the current device's row
+# from the per-generation tuning table instead
 DEFAULT_PEAKS = {
     "hbm_gbps": 470.0,  # measured streaming bandwidth (this chip)
     "mxu_tflops_f32": 30.0,  # measured small-matmul f32 throughput
 }
+
+
+def device_peaks() -> Dict[str, float]:
+    """Roofline peaks for the current default device, from the tuning
+    table (ops/pallas/tuning.py — the CUDA_ARCHS-analogue mechanism)."""
+    from ..ops.pallas.tuning import get_table
+
+    t = get_table()
+    return {"hbm_gbps": t.hbm_gbps, "mxu_tflops_f32": t.mxu_tflops_f32}
 
 
 @dataclass
@@ -83,6 +94,51 @@ def rgat_layer_costs(
     return costs
 
 
+def rgat_compact_step_roofline_ms(
+    g: HeteroGraph,
+    f_in: int,
+    heads: int,
+    d_head: int,
+    n_classes: int,
+    itemsize: int = 4,
+    peaks: Optional[Dict[str, float]] = None,
+) -> float:
+    """Analytic lower bound (ms) for ONE fwd+bwd step of the headline
+    1-layer compact+multiply_first RGAT configuration.
+
+    Deliberately an *under*-count — only traffic no implementation of this
+    algorithm can avoid is included (each operand crosses HBM the minimum
+    number of times; gathers are charged their output only; dW and loss
+    terms are dropped as negligible) — so measured/roofline fractions can
+    never exceed 1.  Used for the ``pct_of_roofline`` field in bench.py
+    (the reference reports ncu speed-of-light sheets the same way,
+    hrt/utils/plot_roofline.py)."""
+    peaks = peaks or device_peaks()
+    K, H, D = f_in, heads, d_head
+    N = g.num_nodes
+    UCs = g.compact_src.seg.n_rows
+    UCd = g.compact_dst.seg.n_rows
+    P = H * (1 + D)  # packed [el | feat] columns
+    fwd = (
+        N * K            # read x once
+        + UCs * P        # write packed projection fe
+        + UCd * H        # write er_c
+        + UCs * P + UCd * H  # fused agg reads both
+        + N * H * D      # fused agg writes out
+    )
+    bwd = (
+        N * n_classes            # read ct at the loss
+        + 2 * (UCs * P + UCd * H)  # write + read d_fe / d_er
+        + UCs * P + UCd * H        # agg backward re-reads saved fwd operands
+        + 2 * UCs * K              # matmul-backward d_rows write + read
+        + N * K                    # dX accumulation write
+    )
+    flops = 3 * 2.0 * UCs * H * K * (1 + D)  # fwd + dX + dW matmul passes
+    t_mem = (fwd + bwd) * itemsize / (peaks["hbm_gbps"] * 1e9)
+    t_cmp = flops / (peaks["mxu_tflops_f32"] * 1e12)
+    return max(t_mem, t_cmp) * 1e3
+
+
 def speed_of_light_report(
     g: HeteroGraph,
     measured_ms: Dict[str, float],
@@ -92,7 +148,7 @@ def speed_of_light_report(
     peaks: Optional[Dict[str, float]] = None,
 ) -> str:
     """Percent-of-roofline per op, reference ncu speed-of-light style."""
-    peaks = peaks or DEFAULT_PEAKS
+    peaks = peaks or device_peaks()
     costs = rgat_layer_costs(g, f_in, heads, d_out)
     rows = []
     for name, cost in costs.items():

@@ -105,3 +105,38 @@ def test_build_info_and_warn_defaults():
         w.simplefilter("always")
         f(1)
         assert any("default" in str(r.message) for r in rec)
+
+
+def test_tuning_table_resolution():
+    """Kernel constants resolve through the per-TPU-generation table
+    (reference: CUDA_ARCHS-keyed macros.h).  On the CPU test backend the
+    measured v5e row is the default; prefix matching must prefer the
+    longest key ("TPU v5 lite" over "TPU v5")."""
+    from het_tpu.ops.pallas import tuning
+
+    t = tuning.get_table()
+    assert t.measured  # CPU fallback = the measured v5e row
+    assert t.nb == 128 and t.chunk_edges == 1024 and t.fold_floor == 16
+
+    # the table feeds the actual kernel/module constants
+    from het_tpu.ops.pallas import seg_reduce, segment_mm
+    from het_tpu.ops.linear import STATIC_MIX_TOPK
+    from het_tpu.utils.profiling import device_peaks
+
+    assert seg_reduce.NB == t.nb
+    assert seg_reduce.CHUNK_EDGES == t.chunk_edges
+    assert segment_mm.W_RESIDENT_BYTES == t.w_resident_bytes
+    assert STATIC_MIX_TOPK() == t.static_mix_topk
+    assert device_peaks()["hbm_gbps"] == t.hbm_gbps
+
+    # longest-prefix semantics (simulated device kinds)
+    rows = tuning.TABLES
+    assert rows["TPU v5 lite"].measured
+    assert not rows["TPU v5"].measured
+    # a hypothetical "TPU v5 litepod" kind must land on the v5e row
+    best = None
+    kind = "TPU v5 litexyz"
+    for key, row in rows.items():
+        if kind.startswith(key) and (best is None or len(key) > best[0]):
+            best = (len(key), row)
+    assert best[1] is rows["TPU v5 lite"]
