@@ -104,7 +104,7 @@ def build_segments(
     identical shapes (het_tpu/parallel/partition.py)."""
     seg_of_row = np.asarray(seg_of_row)
     n_src = int(seg_of_row.shape[0])
-    order = np.argsort(seg_of_row, kind="stable").astype(np.int64)
+    order = native.counting_argsort(seg_of_row, n_segments)
     counts = np.bincount(seg_of_row, minlength=n_segments).astype(np.int64)
     padded = ((counts + tile - 1) // tile * tile) if tile > 1 else counts
     seg_ptrs = np.zeros(n_segments + 1, dtype=np.int64)
@@ -194,7 +194,7 @@ def _build_compact(
     # sorted-scatter metadata (see CompactInfo): real edges ordered by
     # compact row (padding appended past edge_row_ptr[n_rows], where the
     # reduce kernel's range-compare drops them)
-    edge_sort = np.argsort(edge_map[:E], kind="stable").astype(np.int64)
+    edge_sort = native.counting_argsort(edge_map[:E], seg.n_rows)
     edge_sort_perm = np.concatenate(
         [edge_sort, np.arange(E, num_padded_edges, dtype=np.int64)]
     )
@@ -208,7 +208,7 @@ def _build_compact(
     rv = np.asarray(seg.row_valid)
     real_node = rv & (node_ids < num_nodes)
     node_key = np.where(real_node, node_ids, num_nodes)
-    node_sort_perm = np.argsort(node_key, kind="stable").astype(np.int64)
+    node_sort_perm = native.counting_argsort(node_key, num_nodes + 1)
     node_row_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(
         np.bincount(node_ids[real_node], minlength=num_nodes),
@@ -291,7 +291,7 @@ def build_heterograph(
     np.cumsum(in_deg, out=in_row_ptr[1:])
 
     # src-sorted permutation of canonical positions (for backward aggregation)
-    out_order = np.argsort(c_src, kind="stable").astype(np.int64)
+    out_order = native.counting_argsort(c_src, src_space + 1)
     out_perm = np.concatenate([out_order, np.full(pad, EP - 1 if pad else 0,
                                                   dtype=np.int64)])
     if pad:

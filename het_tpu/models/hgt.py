@@ -148,11 +148,15 @@ class HGTLayer(nn.Module):
                 g, message_c, att_q_c, k, mu, stable=self.stable_softmax
             )
         else:
-            att_q_e = ops.edge_typed_linear(g, q, rel_att, side="dst")
-            score = ops.inner_product_edge_node(g, att_q_e, k, side="src")
-            message_e = ops.edge_typed_linear(g, v, rel_msg, side="src")
-            new_h = ops.hgt_softmax_weighted_agg(
-                g, message_e, score, mu, stable=self.stable_softmax
+            # the whole plain-path core (message transform + score SDDMM
+            # + typed softmax + aggregation) fuses into one op on the
+            # pallas backend: neither message_e nor att_q_e materializes
+            # across an op boundary — the counterpart of the reference's
+            # fused edge-parallel kernel pair
+            # (HGTOpsEdgeParallel.inc.h:384,391)
+            new_h = ops.hgt_plain_layer_core(
+                g, v, q, k, rel_msg, rel_att, mu,
+                stable=self.stable_softmax,
             )  # (N, H, d_k)
         new_h = new_h.reshape(g.num_nodes, self.out_dim)
 

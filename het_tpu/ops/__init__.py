@@ -32,6 +32,8 @@ from .spmm import (  # noqa: F401
     gat_node_fused2d,
     hgt_compact_attention,
     hgt_edge_softmax,
+    hgt_plain_attention,
+    hgt_plain_layer_core,
     hgt_softmax_weighted_agg,
     hgt_softmax_weighted_agg_compact,
     inner_product_edge_node,

@@ -986,3 +986,363 @@ def fused_softmax_agg_compact(
     op = _make_compact_fused_op(act, float(slope), clip)
     out = op(feat_c.reshape(UC, H * D), el_c, er_c, g)
     return out.reshape(g.num_nodes, H, D)
+
+
+# --------------------------- plain-path (non-compact) fused HGT attention
+
+
+@functools.lru_cache(maxsize=None)
+def _make_hgt_plain_attention_op(clip: Optional[float]):
+    """Fused PLAIN-path HGT attention: per-edge score SDDMM
+    (q[dst]·W_att[rel]·k[src]) + typed softmax + weighted aggregation in
+    ONE custom-VJP op — the default-flag counterpart of
+    ``hgt_fused_compact_attention``.
+
+    The TPU re-design of the reference's edge-parallel fused score op
+    ``hgt_full_graph_hetero_attention_ops_coo``
+    (hrt/include/DGLHackKernel/OpExport/HGTOpsEdgeParallel.inc.h:384,
+    kernels in HGT/HGTForwardKernels.cu.h), which computes the k·W·q
+    matvec per edge in registers.  Here the per-relation matmul runs over
+    the relation-sorted row space (the static-mix segment matmul) and the
+    inner product + softmax + packed reduce fuse around it — ``att_q_e``
+    never crosses an op boundary in EITHER direction:
+
+    * forward: att_q exists only inside the fusion region between the
+      segment matmul and the reduce's producer pass;
+    * backward: d_att_q is consumed in ROW space directly by the matmul
+      pullback (jax.vjp of segment_matmul), and both node-side cotangents
+      ride single fused permute+reduce passes (d_q over canonical dst
+      runs with perm=seg.inv; d_k over the src CSR with the composed
+      rows->src permutation) — no canonical-order (EP, H*dk) payload is
+      ever materialized.
+
+    Only ``score`` (EP, H — narrow) is saved; att_q is recomputed in the
+    backward (one gather + one MXU pass, cheaper than an (EP, H*dk)
+    HBM round-trip at every measured scale).
+    """
+
+    def _score_from_rows(attq_rows, k_rows, seg, H, dk):
+        prod = attq_rows.reshape(-1, H * dk).astype(jnp.float32) * k_rows
+        score_rows = _head_sums(prod, H, dk)  # (n_rows, H) f32
+        return seg.scatter_back(score_rows[:, :, None])[..., 0]  # (EP, H)
+
+    def _fwd(msg2d, q2d, k2d, w_att, mu, g):
+        from ..linear import _edge_row_idx, segment_matmul
+
+        seg = g.edge_rel_seg
+        H = mu.shape[1]
+        Hdk = q2d.shape[1]
+        dk = Hdk // H
+        pack_dt = _pack_dt(msg2d)
+        q_rows = gather_nodes(q2d, _edge_row_idx(g, "dst"))
+        attq_rows = segment_matmul(
+            q_rows.reshape(-1, H, dk), w_att, seg
+        )  # (n_rows, H, dk)
+        k_rows = gather_nodes(k2d, _edge_row_idx(g, "src")).astype(
+            jnp.float32
+        )
+        score = _score_from_rows(attq_rows, k_rows, seg, H, dk)
+        mu_e = take_rows(mu, g.rel).astype(jnp.float32)
+        raw = score * mu_e
+        z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
+        zf = _repeat_heads(z, dk) * msg2d.astype(jnp.float32)
+        agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
+        s, num = agg[:, :H], agg[:, H : H + Hdk]
+        out = safe_div(num.reshape(-1, H, dk), s[..., None])
+        return out.astype(msg2d.dtype), (score, s, out)
+
+    @jax.custom_vjp
+    def op(msg2d, q2d, k2d, w_att, mu, g):
+        return _fwd(msg2d, q2d, k2d, w_att, mu, g)[0]
+
+    def fwd_rule(msg2d, q2d, k2d, w_att, mu, g):
+        out_cast, (score, s, out) = _fwd(msg2d, q2d, k2d, w_att, mu, g)
+        # narrow residuals only: score (EP, H); att_q is recomputed
+        return out_cast, (msg2d, q2d, k2d, w_att, mu, score, s, out, g)
+
+    def _bwd(res, ct):
+        from ..linear import _edge_row_idx, segment_matmul
+        from .seg_reduce import seg_sum_sorted_packed
+
+        msg2d, q2d, k2d, w_att, mu, score, s, out, g = res
+        seg = g.edge_rel_seg
+        EP, E = g.num_padded_edges, g.num_edges
+        H = mu.shape[1]
+        Hdk = q2d.shape[1]
+        dk = Hdk // H
+        R = mu.shape[0]
+        pack_dt = _pack_dt(msg2d)
+        mu_e = take_rows(mu, g.rel).astype(jnp.float32)
+        raw = score * mu_e
+        z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
+        ct = ct.astype(jnp.float32)
+        ct2 = ct.reshape(-1, Hdk)
+        t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
+        cpe = gather_dst(g, jnp.concatenate([ct2, s, t2], axis=1))
+        ctd = cpe[:, :Hdk]
+        s_d = cpe[:, Hdk : Hdk + H]
+        t2d = cpe[:, Hdk + H :]
+        alpha = safe_div(z, s_d)  # 0 on padding edges
+        d_msg = (_repeat_heads(alpha, dk) * ctd).astype(msg2d.dtype)
+        t1 = _head_sums(msg2d.astype(jnp.float32) * ctd, H, dk)
+        draw = alpha * (t1 - t2d) * _act_deriv(raw, "identity", 0.0, clip)
+        dscore = draw * mu_e  # (EP, H)
+        rel_onehot = (
+            g.rel[:, None] == jnp.arange(R, dtype=g.rel.dtype)[None, :]
+        ).astype(jnp.float32)
+        d_mu = jax.lax.dot_general(
+            rel_onehot, draw * score,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(mu.dtype)
+        # ROW space: recompute att_q (gather + one MXU pass) and build the
+        # matmul pullback with the existing dispatched custom paths
+        q_rows = gather_nodes(q2d, _edge_row_idx(g, "dst"))
+        attq_rows, mm_vjp = jax.vjp(
+            lambda qr, w: segment_matmul(qr, w, seg),
+            q_rows.reshape(-1, H, dk), w_att,
+        )
+        k_rows = gather_nodes(k2d, _edge_row_idx(g, "src")).astype(
+            jnp.float32
+        )
+        dscore_rows = take_rows(dscore, seg.perm)
+        dscore_rows = jnp.where(
+            seg.row_valid[:, None], dscore_rows, 0.0
+        )
+        d_attq_rows = _repeat_heads(dscore_rows, dk) * k_rows
+        d_q_rows, d_watt = mm_vjp(
+            d_attq_rows.reshape(-1, H, dk).astype(attq_rows.dtype)
+        )
+        # d_q: rows -> canonical dst runs; the rows->edges permute
+        # (seg.inv) fuses into the reduce's payload-pack pass
+        d_q = seg_sum_sorted_packed(
+            [d_q_rows.reshape(-1, Hdk)], Hdk, pack_dt,
+            g.in_row_ptr, g.num_nodes, EP, E, g.in_tables, perm=seg.inv,
+        )[:, :Hdk].astype(q2d.dtype)
+        # d_k: rows -> src CSR via the composed rows->src permutation
+        # (payload moves once, inside the pack pass)
+        dk_payload = _repeat_heads(dscore_rows, dk) * attq_rows.reshape(
+            -1, Hdk
+        ).astype(jnp.float32)
+        perm_src = take_rows(seg.inv, g.out_perm)
+        d_k = seg_sum_sorted_packed(
+            [dk_payload], Hdk, pack_dt, g.out_row_ptr, g.src_space,
+            EP, E, g.out_tables, perm=perm_src,
+        )[:, :Hdk].astype(k2d.dtype)
+        return d_msg, d_q, d_k, d_watt.astype(w_att.dtype), d_mu, None
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def hgt_fused_plain_attention(
+    g: HeteroGraph,
+    msg_e: Array,
+    q_nodes: Array,
+    k_nodes: Array,
+    w_att: Array,
+    mu: Array,
+    *,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable fused plain-path HGT attention chain.
+
+    msg_e (EP, H, dk) per-edge messages (canonical order); q_nodes
+    (N, H, dk); k_nodes (src_space, H, dk); w_att (R, H, dk, dk);
+    mu (R, H) = relation_pri / sqrt(dk).  Returns (N, H, dk)."""
+    from ..common import match_vma
+
+    EP, H, dk = msg_e.shape
+    op = _make_hgt_plain_attention_op(clip)
+    out = op(
+        msg_e.reshape(EP, H * dk),
+        q_nodes.reshape(q_nodes.shape[0], H * dk),
+        k_nodes.reshape(k_nodes.shape[0], H * dk),
+        match_vma(msg_e, w_att),  # replicated params under shard_map
+        match_vma(msg_e, mu),
+        g,
+    )
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_hgt_plain_full_op(clip: Optional[float]):
+    """Fully-fused plain-path HGT layer core: BOTH per-edge relational
+    matmuls (v·W_msg and q·W_att), the score SDDMM, the typed softmax and
+    the weighted aggregation in ONE custom-VJP op.
+
+    Beyond :func:`_make_hgt_plain_attention_op` this also pulls the
+    message transform inside the boundary: ``message_e`` exists only as a
+    rows-space matmul output whose rows->canonical permute fuses into the
+    reduce's payload-pack pass, and its cotangent feeds the matmul
+    pullback in row space directly.  The two src-side node cotangents
+    (d_k and d_v) share ONE packed permute+reduce over the src CSR.
+
+    Reference pair: ``hgt_full_graph_hetero_attention_ops_coo`` +
+    ``hgt_full_graph_fused_message_calc_and_mean_aggregation_separate_coo``
+    (HGTOpsEdgeParallel.inc.h:384,391) — the same fusion boundary."""
+
+    def _rows_mm(x2d, w, side, g, H, dk):
+        from ..linear import _edge_row_idx, segment_matmul
+
+        seg = g.edge_rel_seg
+        rows = gather_nodes(x2d, _edge_row_idx(g, side))
+        return rows, segment_matmul(rows.reshape(-1, H, dk), w, seg)
+
+    def _fwd(v2d, q2d, k2d, w_msg, w_att, mu, g):
+        from ..linear import _edge_row_idx
+
+        seg = g.edge_rel_seg
+        H = mu.shape[1]
+        Hdk = q2d.shape[1]
+        dk = Hdk // H
+        pack_dt = _pack_dt(v2d)
+        _, attq_rows = _rows_mm(q2d, w_att, "dst", g, H, dk)
+        k_rows = gather_nodes(k2d, _edge_row_idx(g, "src")).astype(
+            jnp.float32
+        )
+        prod = attq_rows.reshape(-1, Hdk).astype(jnp.float32) * k_rows
+        score = seg.scatter_back(
+            _head_sums(prod, H, dk)[:, :, None]
+        )[..., 0]  # (EP, H)
+        mu_e = take_rows(mu, g.rel).astype(jnp.float32)
+        raw = score * mu_e
+        z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
+        _, msg_rows = _rows_mm(v2d, w_msg, "src", g, H, dk)
+        # rows -> canonical fuses into the reduce's producer pass
+        msg_e = take_rows(
+            msg_rows.reshape(-1, Hdk), seg.inv
+        ).astype(jnp.float32)
+        zf = _repeat_heads(z, dk) * msg_e
+        agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
+        s, num = agg[:, :H], agg[:, H : H + Hdk]
+        out = safe_div(num.reshape(-1, H, dk), s[..., None])
+        return out.astype(v2d.dtype), (score, s, out)
+
+    @jax.custom_vjp
+    def op(v2d, q2d, k2d, w_msg, w_att, mu, g):
+        return _fwd(v2d, q2d, k2d, w_msg, w_att, mu, g)[0]
+
+    def fwd_rule(v2d, q2d, k2d, w_msg, w_att, mu, g):
+        out_cast, (score, s, out) = _fwd(v2d, q2d, k2d, w_msg, w_att, mu, g)
+        return out_cast, (v2d, q2d, k2d, w_msg, w_att, mu, score, s, out, g)
+
+    def _bwd(res, ct):
+        from ..linear import _edge_row_idx, segment_matmul
+        from .seg_reduce import seg_sum_sorted_packed
+
+        v2d, q2d, k2d, w_msg, w_att, mu, score, s, out, g = res
+        seg = g.edge_rel_seg
+        EP, E = g.num_padded_edges, g.num_edges
+        H = mu.shape[1]
+        Hdk = q2d.shape[1]
+        dk = Hdk // H
+        R = mu.shape[0]
+        pack_dt = _pack_dt(v2d)
+        mu_e = take_rows(mu, g.rel).astype(jnp.float32)
+        raw = score * mu_e
+        z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
+        ct = ct.astype(jnp.float32)
+        ct2 = ct.reshape(-1, Hdk)
+        t2 = jnp.sum(out * ct, axis=-1)
+        cpe = gather_dst(g, jnp.concatenate([ct2, s, t2], axis=1))
+        ctd = cpe[:, :Hdk]
+        s_d = cpe[:, Hdk : Hdk + H]
+        t2d = cpe[:, Hdk + H :]
+        alpha = safe_div(z, s_d)
+        # recompute both rows-space matmuls with their pullbacks
+        q_rows = gather_nodes(q2d, _edge_row_idx(g, "dst"))
+        attq_rows, att_vjp = jax.vjp(
+            lambda xr, w: segment_matmul(xr, w, seg),
+            q_rows.reshape(-1, H, dk), w_att,
+        )
+        v_rows = gather_nodes(v2d, _edge_row_idx(g, "src"))
+        msg_rows, msg_vjp = jax.vjp(
+            lambda xr, w: segment_matmul(xr, w, seg),
+            v_rows.reshape(-1, H, dk), w_msg,
+        )
+        msg_e = take_rows(
+            msg_rows.reshape(-1, Hdk), seg.inv
+        ).astype(jnp.float32)
+        t1 = _head_sums(msg_e * ctd, H, dk)
+        draw = alpha * (t1 - t2d) * _act_deriv(raw, "identity", 0.0, clip)
+        dscore = draw * mu_e
+        rel_onehot = (
+            g.rel[:, None] == jnp.arange(R, dtype=g.rel.dtype)[None, :]
+        ).astype(jnp.float32)
+        d_mu = jax.lax.dot_general(
+            rel_onehot, draw * score,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(mu.dtype)
+        # row-space cotangents
+        k_rows = gather_nodes(k2d, _edge_row_idx(g, "src")).astype(
+            jnp.float32
+        )
+        perm_rows = seg.perm
+        dscore_rows = take_rows(dscore, perm_rows)
+        dscore_rows = jnp.where(seg.row_valid[:, None], dscore_rows, 0.0)
+        dmsg_rows = take_rows(_repeat_heads(alpha, dk) * ctd, perm_rows)
+        dmsg_rows = jnp.where(seg.row_valid[:, None], dmsg_rows, 0.0)
+        d_attq_rows = _repeat_heads(dscore_rows, dk) * k_rows
+        d_q_rows, d_watt = att_vjp(
+            d_attq_rows.reshape(-1, H, dk).astype(attq_rows.dtype)
+        )
+        d_v_rows, d_wmsg = msg_vjp(
+            dmsg_rows.reshape(-1, H, dk).astype(msg_rows.dtype)
+        )
+        # d_q: rows -> canonical dst runs (permute fused into the pack)
+        d_q = seg_sum_sorted_packed(
+            [d_q_rows.reshape(-1, Hdk)], Hdk, pack_dt,
+            g.in_row_ptr, g.num_nodes, EP, E, g.in_tables, perm=seg.inv,
+        )[:, :Hdk].astype(q2d.dtype)
+        # d_k AND d_v share one composed rows->src permute + reduce
+        dk_payload = _repeat_heads(dscore_rows, dk) * attq_rows.reshape(
+            -1, Hdk
+        ).astype(jnp.float32)
+        perm_src = take_rows(seg.inv, g.out_perm)
+        redS = seg_sum_sorted_packed(
+            [dk_payload, d_v_rows.reshape(-1, Hdk)], 2 * Hdk, pack_dt,
+            g.out_row_ptr, g.src_space, EP, E, g.out_tables,
+            perm=perm_src,
+        )
+        d_k = redS[:, :Hdk].astype(k2d.dtype)
+        d_v = redS[:, Hdk : 2 * Hdk].astype(v2d.dtype)
+        return (d_v, d_q, d_k, d_wmsg.astype(w_msg.dtype),
+                d_watt.astype(w_att.dtype), d_mu, None)
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def hgt_fused_plain_full(
+    g: HeteroGraph,
+    v_nodes: Array,
+    q_nodes: Array,
+    k_nodes: Array,
+    w_msg: Array,
+    w_att: Array,
+    mu: Array,
+    *,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable fully-fused plain-path HGT core (message transform +
+    attention score + typed softmax + aggregation).
+
+    v_nodes/k_nodes (src_space, H, dk); q_nodes (N, H, dk);
+    w_msg/w_att (R, H, dk, dk); mu (R, H).  Returns (N, H, dk)."""
+    from ..common import match_vma
+
+    H, dk = q_nodes.shape[1], q_nodes.shape[2]
+    op = _make_hgt_plain_full_op(clip)
+    return op(
+        v_nodes.reshape(v_nodes.shape[0], H * dk),
+        q_nodes.reshape(q_nodes.shape[0], H * dk),
+        k_nodes.reshape(k_nodes.shape[0], H * dk),
+        match_vma(q_nodes, w_msg),
+        match_vma(q_nodes, w_att),
+        match_vma(q_nodes, mu),
+        g,
+    )

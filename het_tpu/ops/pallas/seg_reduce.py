@@ -605,7 +605,9 @@ def seg_sum_sorted_packed(
     pad = (Cp if k > 1 else -(-C // 128) * 128) - C
     ps = [p.astype(pack_dt) for p in parts]
     if pad:
-        ps.append(jnp.zeros((EP, pad), pack_dt))
+        # parts may live in a row space LARGER than EP (e.g. padded
+        # segment rows) when ``perm`` (length EP) selects out of it
+        ps.append(jnp.zeros((ps[0].shape[0], pad), pack_dt))
     packed = ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
     if perm is not None:
         packed = take_rows(packed, perm)

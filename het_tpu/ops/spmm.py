@@ -465,6 +465,81 @@ def hgt_compact_attention(
     )
 
 
+def hgt_plain_attention(
+    g: HeteroGraph,
+    message_e: Array,
+    q_nodes: Array,
+    k_nodes: Array,
+    w_att: Array,
+    mu: Array,
+    *,
+    stable: bool = False,
+) -> Array:
+    """HGT plain-path (non-compact) attention chain: per-edge score SDDMM
+    q[dst]·W_att[rel]·k[src] + typed softmax + weighted message
+    aggregation.  On the pallas backend the whole chain runs as ONE fused
+    custom-VJP op — ``att_q_e`` (EP, H, dk) never crosses an op boundary
+    in either direction (unfused it is written + re-read forward AND its
+    cotangent materialized + pushed through a separate typed-linear
+    backward, the two slowest rows of the round-2 breakdown).
+
+    Reference: the edge-parallel fused score op
+    ``hgt_full_graph_hetero_attention_ops_coo``
+    (HGTOpsEdgeParallel.inc.h:384, HGT/HGTForwardKernels.cu.h)."""
+    from . import get_backend
+
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import hgt_fused_plain_attention
+
+        return hgt_fused_plain_attention(
+            g, message_e, q_nodes, k_nodes, w_att, mu,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    from .linear import edge_typed_linear
+
+    att_q_e = edge_typed_linear(g, q_nodes, w_att, side="dst")
+    score = inner_product_edge_node(g, att_q_e, k_nodes, side="src")
+    return hgt_softmax_weighted_agg(g, message_e, score, mu, stable=stable)
+
+
+def hgt_plain_layer_core(
+    g: HeteroGraph,
+    v_nodes: Array,
+    q_nodes: Array,
+    k_nodes: Array,
+    w_msg: Array,
+    w_att: Array,
+    mu: Array,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Plain-path HGT layer core: message transform v·W_msg[rel] + score
+    SDDMM q[dst]·W_att[rel]·k[src] + typed softmax + aggregation.  On the
+    pallas backend the WHOLE core is one custom-VJP op: neither
+    ``message_e`` nor ``att_q_e`` (both (EP, H, dk)) crosses an op
+    boundary in either direction, and the backward's two src-side node
+    cotangents (d_k, d_v) share one permute+reduce pass.
+
+    Reference: the fused pair ``hgt_full_graph_hetero_attention_ops_coo``
+    + ``hgt_full_graph_fused_message_calc_and_mean_aggregation_separate_
+    coo`` (HGTOpsEdgeParallel.inc.h:384,391)."""
+    from . import get_backend
+
+    if get_backend() == "pallas" and stable in (False, "raw", "clip"):
+        from .pallas.fused_agg import hgt_fused_plain_full
+
+        return hgt_fused_plain_full(
+            g, v_nodes, q_nodes, k_nodes, w_msg, w_att, mu,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    from .linear import edge_typed_linear
+
+    message_e = edge_typed_linear(g, v_nodes, w_msg, side="src")
+    return hgt_plain_attention(
+        g, message_e, q_nodes, k_nodes, w_att, mu, stable=stable
+    )
+
+
 def edge_softmax_weighted_sum(
     g: HeteroGraph, logits: Array, vec_e: Array, *, stable: bool = False
 ) -> Array:

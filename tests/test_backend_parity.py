@@ -275,3 +275,74 @@ def test_gat_node_fused_parity(pallas_backend, H, D):
     for a, b in zip(gx, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-4)
+
+
+def test_hgt_fused_plain_attention_parity(pallas_backend):
+    """The fused PLAIN-path HGT attention chain (score SDDMM
+    q[dst]·W_att[rel]·k[src] + typed softmax + aggregation in one
+    custom-VJP op) vs the unfused XLA composition: fwd + grads wrt
+    (msg_e, q, k, w_att, mu)."""
+    g = _toy(seed=17)
+    H, dk = 2, 4
+    EP = g.num_padded_edges
+    msg_e = g.edge_mask(
+        jax.random.normal(jax.random.PRNGKey(3), (EP, H, dk)) * 0.5
+    )
+    q_n = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, H, dk)) * 0.5
+    k_n = jax.random.normal(jax.random.PRNGKey(5), (g.num_nodes, H, dk)) * 0.5
+    w_att = jax.random.normal(
+        jax.random.PRNGKey(6), (g.num_rels, H, dk, dk)
+    ) * 0.4
+    mu = jax.random.uniform(jax.random.PRNGKey(7), (g.num_rels, H)) + 0.5
+
+    def run(me, qq, kk, w, m):
+        out = ops.hgt_plain_attention(g, me, qq, kk, w, m, stable="clip")
+        return jnp.sum(out ** 2)
+
+    args = (msg_e, q_n, k_n, w_att, mu)
+    ops.set_backend("xla")
+    vx = run(*args)
+    gx = jax.grad(run, argnums=(0, 1, 2, 3, 4))(*args)
+    ops.set_backend("pallas")
+    vp = run(*args)
+    gp = jax.grad(run, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-4)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
+def test_hgt_fused_plain_full_parity(pallas_backend):
+    """The fully-fused plain-path HGT core (message transform + score
+    SDDMM + typed softmax + aggregation in one custom-VJP op) vs the
+    unfused XLA composition: fwd + grads wrt (v, q, k, w_msg, w_att, mu)."""
+    g = _toy(seed=19)
+    H, dk = 2, 4
+    v_n = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, H, dk)) * 0.5
+    q_n = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, H, dk)) * 0.5
+    k_n = jax.random.normal(jax.random.PRNGKey(5), (g.num_nodes, H, dk)) * 0.5
+    w_msg = jax.random.normal(
+        jax.random.PRNGKey(8), (g.num_rels, H, dk, dk)
+    ) * 0.4
+    w_att = jax.random.normal(
+        jax.random.PRNGKey(6), (g.num_rels, H, dk, dk)
+    ) * 0.4
+    mu = jax.random.uniform(jax.random.PRNGKey(7), (g.num_rels, H)) + 0.5
+
+    def run(vv, qq, kk, wm, wa, m):
+        out = ops.hgt_plain_layer_core(
+            g, vv, qq, kk, wm, wa, m, stable="clip"
+        )
+        return jnp.sum(out ** 2)
+
+    args = (v_n, q_n, k_n, w_msg, w_att, mu)
+    ops.set_backend("xla")
+    vx = run(*args)
+    gx = jax.grad(run, argnums=tuple(range(6)))(*args)
+    ops.set_backend("pallas")
+    vp = run(*args)
+    gp = jax.grad(run, argnums=tuple(range(6)))(*args)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-4)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
