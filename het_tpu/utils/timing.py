@@ -80,7 +80,13 @@ def op_time_ms(
         t1 = run(n1)
         t2 = run(n2)
         samples.append((t2 - t1) / (n2 - n1))
-    return float(np.median(samples) * 1e3)
+    med = float(np.median(samples) * 1e3)
+    if med <= 0.0:
+        # slope went negative (host-side noise between the two chain
+        # lengths — seen under CPU contention): fall back to the long
+        # chain's mean, which is an upper bound rather than garbage
+        med = float(min(run(n2) / n2 for _ in range(trials)) * 1e3)
+    return med
 
 
 def epoch_time_ms(fn: Callable, *args) -> float:

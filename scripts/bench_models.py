@@ -1,6 +1,6 @@
 """Chained-slope fwd+bwd benchmark for every model family (not just the
 RGAT headline): RGAT / HGT / RGCN / GAT on the real ogbn-mag sample,
-pallas backend, flags on and off.  Writes docs/MODELS_r2.json.
+pallas backend, flags on and off.  Writes docs/MODELS_r3.json.
 
 Unlike the driver sweep (scripts/benchmark_all.py) these numbers carry no
 per-epoch host-sync RTT — they are the honest per-step device times
@@ -89,7 +89,7 @@ def main():
         }
         print(name, out[name], flush=True)
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "MODELS_r2.json")
+                        "MODELS_r3.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
