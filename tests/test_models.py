@@ -29,6 +29,7 @@ def _x(g, dim, seed=0):
     return jax.random.normal(jax.random.PRNGKey(seed), (g.num_nodes, dim))
 
 
+@pytest.mark.slow
 def test_rgat_forward_and_grad():
     g = _toy()
     x = _x(g, 16)

@@ -109,6 +109,7 @@ def test_backend_dispatch_end_to_end(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_static_mix_matches_xla(rng):
     """Static-hybrid large-R path (per-relation static slices + gather
     tail): forward and grads vs the gather-einsum, 2-D and 3-D inputs,

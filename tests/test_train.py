@@ -157,6 +157,7 @@ def test_link_prediction():
     assert 0.0 <= m["hits@10"] <= 1.0
 
 
+@pytest.mark.slow
 def test_minibatch_training():
     from het_tpu.train import train_minibatch
 
@@ -186,6 +187,7 @@ def test_minibatch_training():
     assert m["mean_training_time"] >= 0.0
 
 
+@pytest.mark.slow
 def test_minibatch_training_compact():
     """Compact composes with minibatch training (VERDICT r2 missing #2):
     forced-size per-batch compact tables keep jit shapes stable, the
