@@ -38,20 +38,33 @@ def KERNEL_NB() -> int:
     return get_table().nb
 
 
-def build_tile_tables(ptr: np.ndarray, N: int, nb: int = None) -> TileTables:
+def build_tile_tables(
+    ptr: np.ndarray, N: int, nb: int = None, chunk_edges: int = None
+) -> TileTables:
     """Host (numpy) mirror of seg_reduce._tables_from_ptr (tile count
     padded to the kernel's super-block multiple; pad tiles are empty),
     plus the flattened (tile x edge-block) work list that drives the
-    pipelined reduce kernel's 1-D grid (TileTables docstring)."""
-    from ..ops.pallas.seg_reduce import (  # single source of truth
-        CHUNK_EDGES,
-        TABLE_PAD,
-    )
+    pipelined reduce kernel's 1-D grid (TileTables docstring).
+
+    ``chunk_edges`` (edge-block width) is a per-table parameter so SPMD
+    shards can be rebuilt with one common geometry
+    (parallel/partition._unify_tables).  The default stays the tuned
+    global value: a round-4 density-matched-blocks experiment won its
+    kernel micro-benchmarks by 1.3-2x but LOST the composed training step
+    by 0.5-1.7 ms in interleaved A/B reps — the composed step is the
+    ground truth, isolated kernel timings are not."""
+    from ..ops.pallas.seg_reduce import CHUNK_EDGES, TABLE_PAD
 
     if nb is None:
         nb = KERNEL_NB()
     ptr = np.asarray(ptr)
-    n_tiles = -(-(-(-N // nb)) // TABLE_PAD) * TABLE_PAD if N else 0
+    if chunk_edges is None:
+        chunk_edges = CHUNK_EDGES
+    # always keep >= 1 FULLY empty trailing tile (every row beyond N, so
+    # lower == upper throughout): partition table unification
+    # (parallel/partition._unify_tables) pads work lists with no-op items
+    # that must target such a tile to accumulate nothing
+    n_tiles = -(-(-(-N // nb) + 1) // TABLE_PAD) * TABLE_PAD if N else 0
     idx = np.minimum(np.arange(n_tiles + 1, dtype=np.int64) * nb, N)
     tptr = ptr[idx]
     node_idx = np.minimum(
@@ -61,7 +74,7 @@ def build_tile_tables(ptr: np.ndarray, N: int, nb: int = None) -> TileTables:
     upper = ptr[np.minimum(node_idx + 1, N)][:, None, :]
     # work list: tile t spans edge blocks [b0, b1) (>=1 even when empty,
     # so every tile's accumulator is zeroed and flushed exactly once)
-    ce = CHUNK_EDGES
+    ce = chunk_edges
     b0 = tptr[:-1] // ce
     b1 = np.maximum(-(-tptr[1:] // ce), b0 + 1)
     cnt = b1 - b0

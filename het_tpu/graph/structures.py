@@ -273,9 +273,22 @@ class HeteroGraph:
 
     # Source-index space. Single-chip: == num_nodes (encoded as 0).  On a
     # partitioned shard (het_tpu/parallel): destinations are local
-    # (num_nodes = padded per-shard count) while sources index the
-    # padded-global feature space assembled by the halo all-gather.
+    # (num_nodes = padded per-shard count) while sources index either the
+    # padded-global feature space assembled by the halo all-gather, or —
+    # when the boundary-exchange arrays below are present — the compact
+    # per-shard boundary buffer ``[own rows | per-sender received rows]``.
     num_src_space: int = 0
+
+    # -- boundary-only halo exchange (het_tpu/parallel/dp.halo_exchange) --
+    # Built by partition_by_dst(halo='boundary'): this shard's edges index
+    # a src space of ``B_self + n_parts * B_off`` rows where rows
+    # [0, B_self) are this shard's own sources (``halo_self_idx`` local
+    # ids) and block p holds the rows peer p sends it (peer p selects them
+    # with row p of ITS ``halo_send_idx``).  Exchanging only these rows
+    # over ICI replaces the O(N*F)-per-device all-gather with
+    # O(boundary*F) (north star: BASELINE.json boundary all-to-all).
+    halo_self_idx: Optional[Array] = None  # (B_self,) local row ids
+    halo_send_idx: Optional[Array] = None  # (n_parts, B_off) local row ids
 
     @property
     def src_space(self) -> int:
@@ -294,6 +307,18 @@ class HeteroGraph:
     @property
     def rel_per_mm_row(self) -> Array:
         return self.edge_rel_seg.row_seg
+
+    def compact_duplication(self, side: str = "src") -> Optional[float]:
+        """Edges per unique (relation, node) pair — the factor compact
+        materialization divides the typed-linear work by.  Near 1.0 the
+        flag only adds the expand indirection (measured: a net SLOWDOWN
+        on mag's RGCN at dup ~1.4); the reference treats compact as a win
+        on duplicated workloads (paper §compact).  None if compact
+        metadata was not built."""
+        info = self.compact_src if side == "src" else self.compact_dst
+        if info is None:
+            return None
+        return self.num_edges / max(info.seg.n_src, 1)
 
     def describe(self) -> str:
         return (
@@ -321,6 +346,8 @@ _register(
         "out_deg",
         "in_tables",
         "out_tables",
+        "halo_self_idx",
+        "halo_send_idx",
     ),
     meta_fields=(
         "num_nodes",

@@ -340,14 +340,12 @@ def _seg_sum_wl(
     summed over the sorted segmentation ``row_ptr`` into (n_tiles*nb, W).
     Callers slice [:N] and fold-combine."""
     rows, W = vals.shape
-    rows_pb = CHUNK_EDGES // k
     n_edges_cap = rows * k
-    if (
-        tables is not None
-        and tables.nb == nb
-        and tables.w_tile is not None
-        and tables.chunk_edges == CHUNK_EDGES
-    ):
+    if tables is not None and tables.w_tile is not None:
+        # the tables carry their own geometry (nb, chunk_edges), chosen at
+        # build time from the segmentation's density (graph/build.py)
+        nb = tables.nb
+        rows_pb = tables.chunk_edges // k
         wt = jnp.asarray(tables.w_tile)
         wb = jnp.asarray(tables.w_block)
         wf = jnp.asarray(tables.w_first)
@@ -356,6 +354,7 @@ def _seg_sum_wl(
         n_tiles = int(lower.shape[0])
         n_blocks = int(tables.n_blocks)
     else:
+        rows_pb = CHUNK_EDGES // k
         wt, wb, wf, lower, upper, n_tiles, n_blocks = _wl_from_ptr_device(
             row_ptr, N, nb, n_edges_cap
         )

@@ -33,6 +33,10 @@ from functools import lru_cache
 @dataclass(frozen=True)
 class TuneTable:
     # --- seg_reduce.py (work-list one-hot-MXU segment reductions)
+    # round-4 geometry sweep note (scripts/tune_wl_geometry.py): nb=256 +
+    # density-matched chunk_edges won the ISOLATED kernel benchmarks by
+    # 1.3-2x but lost the composed headline step 12.0 -> 12.6-13.8 ms in
+    # interleaved A/B reps, so the tuned global stays authoritative
     nb: int = 128            # nodes per output tile
     chunk_max: int = 512     # edges per DMA chunk (max kernel)
     chunk_edges: int = 1024  # edges per work-item block (sum kernel)

@@ -48,8 +48,51 @@ def shard_stacked(tree, mesh: Mesh, axis: str = "dp"):
 
 def halo_gather(h_local: Array, axis: str = "dp") -> Array:
     """All-gather shard-local node rows into the padded-global space —
-    the boundary-feature exchange over ICI."""
+    the simple (fallback) boundary-feature exchange over ICI."""
     return jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+
+
+def halo_exchange(
+    h_local: Array, g_local: HeteroGraph, axis: str = "dp"
+) -> Array:
+    """Boundary-only source-feature exchange (north star: BASELINE.json).
+
+    Each shard gathers the rows every peer needs (``g.halo_send_idx``, one
+    B_off block per peer, precomputed host-side by
+    partition_by_dst(halo='boundary')), all_to_all's the blocks over ICI,
+    and assembles the compact source buffer ``[own | recv_0 | ... |
+    recv_{P-1}]`` that its edges' ``g.src`` index.  Per-device ICI traffic
+    is (P-1) * B_off * F rows instead of the all-gather's (P-1) * per * F;
+    XLA overlaps the collective with the local projections exactly as it
+    does the all-gather.  The transpose (grad) is the reverse all_to_all +
+    a node-scale scatter-add into local rows — inserted automatically by
+    the shard_map transpose of this function."""
+    si, ki = g_local.halo_self_idx, g_local.halo_send_idx
+    assert ki is not None, "graph partitioned without halo='boundary'"
+    tail = h_local.shape[1:]
+    P, B = ki.shape
+    own = jnp.take(h_local, si, axis=0)  # (B_self, ...)
+    send = jnp.take(h_local, ki.reshape(-1), axis=0).reshape((P, B) + tail)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    return jnp.concatenate(
+        [own, recv.reshape((P * B,) + tail)], axis=0
+    )
+
+
+def halo_bytes(g_local: HeteroGraph, n_parts: int, feat_width: int,
+               itemsize: int = 4) -> dict:
+    """Per-device bytes a layer's source exchange moves over ICI, for the
+    boundary all_to_all vs the all-gather fallback (dryrun reporting)."""
+    gather = (n_parts - 1) * g_local.num_nodes * feat_width * itemsize
+    if g_local.halo_send_idx is None:
+        return {"mode": "gather", "ici_bytes": gather,
+                "gather_bytes": gather}
+    b_off = int(g_local.halo_send_idx.shape[-1])
+    return {
+        "mode": "boundary",
+        "ici_bytes": (n_parts - 1) * b_off * feat_width * itemsize,
+        "gather_bytes": gather,
+    }
 
 
 def dp_apply(
@@ -126,9 +169,33 @@ class DPGNN:
         params = []
         h = jnp.asarray(x)
         h_loc = h[: g_local.num_nodes]
+        boundary = g_local.halo_send_idx is not None
 
         def tile_halo(t):
+            # shape-only stand-in for the cross-shard exchange (init cares
+            # about shapes; layer-1+ init values are approximate anyway)
+            if boundary:
+                P, B = g_local.halo_send_idx.shape
+                own = jnp.take(t, g_local.halo_self_idx, axis=0)
+                return jnp.concatenate(
+                    [own, jnp.zeros((P * B,) + t.shape[1:], t.dtype)], 0
+                )
             return jnp.tile(t, (n_parts,) + (1,) * (t.ndim - 1))
+
+        def emu_exchange(h_glob):
+            """Exact single-device emulation of halo_exchange for shard 0
+            given the full padded-global feature array."""
+            per = g_local.num_nodes
+            own = jnp.take(h_glob, g_local.halo_self_idx, axis=0)
+            blocks = [
+                jnp.take(
+                    h_glob,
+                    p * per + jnp.asarray(sg.halo_send_idx[p, 0]),
+                    axis=0,
+                )
+                for p in range(n_parts)
+            ]
+            return jnp.concatenate([own] + blocks, axis=0)
 
         for layer in self.layers:
             key, k = jax.random.split(key)
@@ -137,9 +204,10 @@ class DPGNN:
                 params.append(p)
                 h_loc = layer.apply(p, g_local, h_loc, halo=tile_halo)
             else:
-                p = layer.init(k, g_local, h, x_dst=h_loc)
+                h_src = emu_exchange(h) if boundary else h
+                p = layer.init(k, g_local, h_src, x_dst=h_loc)
                 params.append(p)
-                h_loc = layer.apply(p, g_local, h, x_dst=h_loc)
+                h_loc = layer.apply(p, g_local, h_src, x_dst=h_loc)
             h = jnp.tile(h_loc, (n_parts, 1))
         return params
 
@@ -150,18 +218,18 @@ class DPGNN:
         halo_style = [self._is_halo_style(l) for l in layers]
 
         def fwd(params, g_local, x_loc):
+            if g_local.halo_send_idx is not None:
+                exchange = lambda t: halo_exchange(t, g_local, axis)  # noqa: E731
+            else:
+                exchange = lambda t: halo_gather(t, axis)  # noqa: E731
             h = x_loc
             for layer, p, hs in zip(layers, params, halo_style):
                 if hs:
                     # HGT: per-node projections happen locally; only the
                     # projected k/v cross shards (smaller halo than raw x)
-                    h = layer.apply(
-                        p, g_local, h,
-                        halo=lambda t: halo_gather(t, axis),
-                    )
+                    h = layer.apply(p, g_local, h, halo=exchange)
                 else:
-                    h_glob = halo_gather(h, axis)
-                    h = layer.apply(p, g_local, h_glob, x_dst=h)
+                    h = layer.apply(p, g_local, exchange(h), x_dst=h)
             return h
 
         return dp_apply(fwd, params, sg, x, self.mesh, axis=axis)

@@ -125,6 +125,7 @@ def partition_by_dst(
     build_compact: bool = False,
     ntype_offsets=None,
     balance: str = "nodes",
+    halo: str = "gather",
 ) -> Tuple[HeteroGraph, PartitionInfo]:
     """Split edges into ``n_parts`` contiguous destination ranges; return
     identically-shaped per-part HeteroGraphs **stacked** on a leading axis
@@ -135,7 +136,22 @@ def partition_by_dst(
     cumulative in-degree so each shard owns ~E/P edges — the degree-aware
     split skewed graphs need (the distributed analogue of the reference's
     infidel degree sort, hrt/python/utils/coo_sorters.py:173).  Shard
-    shapes are padded to the across-shard max either way (SPMD)."""
+    shapes are padded to the across-shard max either way (SPMD).
+
+    ``halo`` selects the per-layer source-feature exchange:
+
+    * ``'gather'`` — shards index the padded-global source space; each
+      layer all-gathers every node row (O(N*F) per device).
+    * ``'boundary'`` — per-(sender, receiver) unique boundary source lists
+      are precomputed here; shard edges index a compact per-shard buffer
+      ``[own sources | per-sender received rows]`` and each layer
+      exchanges ONLY those rows via all_to_all over ICI
+      (parallel/dp.halo_exchange) — the north-star boundary exchange
+      (BASELINE.json).  SPMD padding: every (p != q) block is padded to
+      the across-pair max ``B_off``.
+    * ``'auto'`` — boundary, unless the padded boundary buffer is no
+      smaller than the all-gather's (badly-partitioned graph), in which
+      case gather."""
     src = np.asarray(src).astype(np.int64).ravel()
     dst = np.asarray(dst).astype(np.int64).ravel()
     rel = np.asarray(rel).astype(np.int64).ravel()
@@ -169,6 +185,52 @@ def partition_by_dst(
     n_glob = info.num_padded_global_nodes
     part_of_dst = info.part_of(dst)
 
+    # ---- boundary-exchange source lists (halo='boundary'/'auto') ----
+    assert halo in ("gather", "boundary", "auto"), halo
+    halo_mode = halo
+    bl = b_self = b_off = None
+    if halo != "gather":
+        part_of_src = info.part_of(src)
+        # bl[p][q]: sorted unique original src ids in part p's node range
+        # that shard q's edges read
+        bl = [[None] * n_parts for _ in range(n_parts)]
+        for q in range(n_parts):
+            m = part_of_dst == q
+            sq, pq = src[m], part_of_src[m]
+            for p in range(n_parts):
+                bl[p][q] = np.unique(sq[pq == p])
+        b_self = max(
+            [1] + [len(bl[q][q]) for q in range(n_parts)]
+        )
+        b_off = max(
+            [1]
+            + [
+                len(bl[p][q])
+                for p in range(n_parts)
+                for q in range(n_parts)
+                if p != q
+            ]
+        )
+        b_self = round_up(b_self, 8)
+        b_off = round_up(b_off, 8)
+        if halo == "auto" and b_self + n_parts * b_off >= n_parts * per:
+            halo_mode = "gather"  # boundary buffer would not be smaller
+        else:
+            halo_mode = "boundary"
+
+    def _src_boundary_ids(q: int, s: np.ndarray) -> np.ndarray:
+        """Original src ids -> shard q's boundary-buffer rows."""
+        p = info.part_of(s)
+        out = np.empty(len(s), np.int64)
+        for pp in range(n_parts):
+            mm = p == pp
+            if not mm.any():
+                continue
+            ranks = np.searchsorted(bl[pp][q], s[mm])
+            base = 0 if pp == q else b_self + pp * b_off
+            out[mm] = base + ranks
+        return out
+
     # per-node types in original ids (contiguous type ranges globally; a
     # shard's dst range may span type boundaries, so shards carry an
     # explicit node_ntype array)
@@ -191,8 +253,14 @@ def partition_by_dst(
 
     def build_part(p: int, force: Optional[dict]) -> HeteroGraph:
         m = part_of_dst == p
+        if halo_mode == "boundary":
+            part_src = _src_boundary_ids(p, src[m])
+            space = b_self + n_parts * b_off
+        else:
+            part_src = info.relabel(src[m])
+            space = n_glob
         return build_heterograph(
-            info.relabel(src[m]),
+            part_src,
             dst[m] - info.part_range(p)[0],
             rel[m],
             num_nodes=per,
@@ -200,7 +268,7 @@ def partition_by_dst(
             tile=tile,
             build_compact=build_compact,
             force_sizes=force,
-            src_space=n_glob,
+            src_space=space,
             node_ntype=_part_ntype(p),
             ntype_offsets=(0,) * num_ntypes + (per,)
             if node_ntype_glob is not None
@@ -237,8 +305,132 @@ def partition_by_dst(
 
     max_e = max(g.num_edges for g in parts)
     parts = [dataclasses.replace(g, num_edges=max_e) for g in parts]
+    if halo_mode == "boundary":
+        # per-shard exchange index arrays (HeteroGraph docstring): shard
+        # p's own-source rows, and the rows it must SEND to each peer q
+        def _local(p: int, ids: np.ndarray, width: int) -> np.ndarray:
+            out = np.zeros(width, np.int32)
+            out[: len(ids)] = ids - info.part_range(p)[0]
+            return out
+
+        for p in range(n_parts):
+            send = np.stack(
+                [
+                    _local(p, bl[p][q] if q != p else bl[p][q][:0], b_off)
+                    for q in range(n_parts)
+                ]
+            )
+            parts[p] = dataclasses.replace(
+                parts[p],
+                halo_self_idx=_local(p, bl[p][p], b_self),
+                halo_send_idx=send.astype(np.int32),
+            )
     stacked = _stack_graphs(parts)
     return stacked, info
+
+
+def _pad_worklist(t, n_work: int):
+    """Pad a TileTables work list to ``n_work`` items with no-ops: items
+    that accumulate the last edge block into the guaranteed-empty last
+    tile (build_tile_tables keeps >= 1 fully-empty trailing tile) without
+    resetting it — every range compare is empty, so they add nothing."""
+    import dataclasses
+
+    cur = int(t.w_tile.shape[0])
+    if cur == n_work:
+        return t
+    n_tiles = int(t.lower.shape[0])
+    pad = n_work - cur
+    wt = np.concatenate(
+        [t.w_tile, np.full(pad, n_tiles - 1, np.int32)]
+    )
+    wb = np.concatenate(
+        [t.w_block, np.full(pad, max(t.n_blocks - 1, 0), np.int32)]
+    )
+    wf = np.concatenate([t.w_first, np.zeros(pad, np.int32)])
+    return dataclasses.replace(t, w_tile=wt, w_block=wb, w_first=wf)
+
+
+def _unify_tables(parts):
+    """SPMD shards must share one treedef and leaf shapes, but tile tables
+    are built per shard with density-matched geometry (graph/build.py) and
+    data-dependent work-list lengths.  Rebuild diverging tables with the
+    across-shard max (nb, chunk_edges) and pad every work list to the max
+    length with no-op items."""
+    import dataclasses
+
+    from ..graph.build import build_tile_tables
+
+    specs = [
+        # (getter: graph -> (tables, ptr, N), setter kwargs path)
+        ("in_tables", lambda g: (g.in_tables, g.in_row_ptr, g.num_nodes)),
+        ("out_tables", lambda g: (g.out_tables, g.out_row_ptr, g.src_space)),
+    ]
+
+    def unify(tabs, ptrs, ns):
+        ce = max(t.chunk_edges for t in tabs)
+        nb = max(t.nb for t in tabs)
+        # n_blocks must also match (meta): rebuild everything when any
+        # geometry or block-count field diverges
+        if any(
+            t.chunk_edges != ce or t.nb != nb
+            or t.n_blocks != tabs[0].n_blocks
+            for t in tabs
+        ):
+            tabs = [
+                build_tile_tables(np.asarray(p), n, nb=nb, chunk_edges=ce)
+                for p, n in zip(ptrs, ns)
+            ]
+            nbl = max(t.n_blocks for t in tabs)
+            tabs = [dataclasses.replace(t, n_blocks=nbl) for t in tabs]
+        nw = max(t.w_tile.shape[0] for t in tabs)
+        return [_pad_worklist(t, nw) for t in tabs]
+
+    for name, get in specs:
+        tabs, ptrs, ns = zip(*[get(g) for g in parts])
+        if tabs[0] is None:
+            continue
+        parts = [
+            dataclasses.replace(g, **{name: t})
+            for g, t in zip(parts, unify(tabs, ptrs, ns))
+        ]
+
+    def unify_ci(cis):
+        if cis[0] is None:
+            return cis
+        edge = unify(
+            [c.edge_tables for c in cis],
+            [c.edge_row_ptr for c in cis],
+            [c.seg.n_rows for c in cis],
+        )
+        node = unify(
+            [c.node_tables for c in cis],
+            [c.node_row_ptr for c in cis],
+            [int(np.asarray(c.node_row_ptr).shape[0]) - 1 for c in cis],
+        )
+        canon = None
+        if cis[0].canon_tables is not None:
+            canon = unify(
+                [c.canon_tables for c in cis],
+                [c.canon_ptr for c in cis],
+                [int(np.asarray(c.canon_ptr).shape[0]) - 1 for c in cis],
+            )
+        return [
+            dataclasses.replace(
+                c,
+                edge_tables=e,
+                node_tables=n,
+                canon_tables=canon[i] if canon else c.canon_tables,
+            )
+            for i, (c, e, n) in enumerate(zip(cis, edge, node))
+        ]
+
+    css = unify_ci([g.compact_src for g in parts])
+    cds = unify_ci([g.compact_dst for g in parts])
+    return [
+        dataclasses.replace(g, compact_src=cs, compact_dst=cd)
+        for g, cs, cd in zip(parts, css, cds)
+    ]
 
 
 def _drop_unshared_static(parts):
@@ -282,6 +474,7 @@ def _drop_unshared_static(parts):
 def _stack_graphs(graphs) -> HeteroGraph:
     """Stack identically-shaped HeteroGraphs on a new leading axis."""
     graphs = _drop_unshared_static(graphs)
+    graphs = _unify_tables(graphs)
     treedef = jax.tree.structure(graphs[0])
     assert all(
         jax.tree.structure(g) == treedef for g in graphs[1:]

@@ -43,6 +43,7 @@ def test_partition_roundtrip(n_parts):
     assert info.num_padded_global_nodes % n_parts == 0
 
 
+@pytest.mark.slow
 def test_dp_rgat_matches_single_chip():
     src, dst, rel, n, r = _coo(seed=1)
     n_parts = 8
@@ -73,6 +74,7 @@ def test_dp_rgat_matches_single_chip():
     )
 
 
+@pytest.mark.slow
 def test_dp_two_layer_grads():
     src, dst, rel, n, r = _coo(seed=2, n=160, e=600)
     n_parts = 4
@@ -112,6 +114,7 @@ def test_dp_two_layer_grads():
     )
 
 
+@pytest.mark.slow
 def test_dp_with_pallas_backend():
     """Pallas kernels (interpret mode on CPU) inside shard_map + grad."""
     from het_tpu import ops
@@ -189,6 +192,7 @@ def test_dp_hgt_matches_single_chip():
     )
 
 
+@pytest.mark.slow
 def test_dp_compact_on_shards():
     """Compact flags on a partitioned graph: per-shard compact tables are
     built with forced (across-shard max) sizes; a compact RGAT layer under
@@ -280,6 +284,128 @@ def test_edge_balanced_partition():
     )
 
 
+@pytest.mark.parametrize("n_parts", [2, 4])
+def test_boundary_halo_matches_single_chip(n_parts):
+    """halo='boundary': shards index a compact [own | per-sender recv]
+    source buffer, layers exchange only boundary rows via all_to_all —
+    results must match the single-chip layer AND the padded boundary
+    buffer must be smaller than the all-gather space on a partition-
+    friendly graph."""
+    from het_tpu.parallel import halo_bytes
+
+    rng = np.random.default_rng(17)
+    n, e, r = 256, 1000, 3
+    # partition-friendly: ~85% of edges stay within a node-range block
+    per_block = n // n_parts
+    dst = rng.integers(0, n, e)
+    local = rng.random(e) < 0.85
+    src = np.where(
+        local,
+        (dst // per_block) * per_block + rng.integers(0, per_block, e),
+        rng.integers(0, n, e),
+    )
+    rel = rng.integers(0, r, e)
+    mesh = make_mesh(n_parts)
+    sg, info = partition_by_dst(
+        src, dst, rel, n, r, n_parts, tile=8, halo="boundary"
+    )
+    g0 = jax.tree.map(lambda a: a[0], sg)
+    assert g0.halo_send_idx is not None
+    b = halo_bytes(g0, n_parts, feat_width=8)
+    assert b["mode"] == "boundary"
+    assert b["ici_bytes"] < b["gather_bytes"]
+    sg = shard_stacked(sg, mesh)
+
+    F, O = 8, 4
+    x = rng.standard_normal((n, F), dtype=np.float32)
+    x_pad = jnp.asarray(info.pad_node_data(x))
+    layer = RGATLayer(in_feat=F, out_feat=O, num_rels=r, num_heads=2,
+                      dropout=0.0)
+    dp = DPGNN([layer], mesh)
+    params = dp.init(jax.random.PRNGKey(1), sg, x_pad)
+    out_dp = jax.jit(lambda p, xx: dp.apply(p, sg, xx))(params, x_pad)
+
+    g1 = build_heterograph(src, dst, rel, n, r, tile=8)
+    out_1 = layer.apply(params[0], g1, jnp.asarray(x))
+    relabeled = info.relabel(np.arange(n))
+    np.testing.assert_allclose(
+        np.asarray(out_dp)[relabeled], np.asarray(out_1),
+        rtol=2e-4, atol=1e-5,
+    )
+
+    # gradients flow through the all_to_all transpose
+    def loss(p):
+        return jnp.sum(dp.apply(p, sg, x_pad) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    g1_val = float(jnp.sum(layer.apply(params[0], g1, jnp.asarray(x)) ** 2))
+    np.testing.assert_allclose(float(val), g1_val, rtol=1e-3)
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # grads must also MATCH the single-chip grads (the exchange transpose
+    # is a scatter-add over the boundary lists)
+    def loss1(p):
+        return jnp.sum(layer.apply(p, g1, jnp.asarray(x)) ** 2)
+
+    g_single = jax.grad(loss1)(params[0])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+        ),
+        grads[0], g_single,
+    )
+
+
+def test_boundary_halo_two_layer_and_auto():
+    """Two stacked layers re-exchange between layers; halo='auto' falls
+    back to gather on a partition-hostile random graph."""
+    rng = np.random.default_rng(23)
+    n_parts = 4
+    # dense random graph at exactly per=128: every pair's boundary list
+    # approaches the full sender range -> auto falls back to gather
+    nd, ed = 512, 16384
+    sg_auto, _ = partition_by_dst(
+        rng.integers(0, nd, ed), rng.integers(0, nd, ed),
+        rng.integers(0, 3, ed), nd, 3, n_parts, tile=8, halo="auto",
+    )
+    assert jax.tree.map(lambda a: a[0], sg_auto).halo_send_idx is None
+    # sparse local graph -> auto picks boundary
+    n, e, r = 160, 640, 3
+    src, dst, rel = (rng.integers(0, n, e), rng.integers(0, n, e),
+                     rng.integers(0, r, e))
+    sg_auto2, _ = partition_by_dst(
+        src, dst, rel, n, r, n_parts, tile=8, halo="auto"
+    )
+    assert jax.tree.map(lambda a: a[0], sg_auto2).halo_send_idx is not None
+
+    mesh = make_mesh(n_parts)
+    sg, info = partition_by_dst(
+        src, dst, rel, n, r, n_parts, tile=8, halo="boundary"
+    )
+    sg = shard_stacked(sg, mesh)
+    F = 8
+    x = rng.standard_normal((n, F), dtype=np.float32)
+    x_pad = jnp.asarray(info.pad_node_data(x))
+    layers = [
+        RGCNLayer(in_feat=F, out_feat=8, num_rels=r, activation=jax.nn.relu),
+        RGATLayer(in_feat=8, out_feat=4, num_rels=r, num_heads=1,
+                  dropout=0.0),
+    ]
+    dp = DPGNN(layers, mesh)
+    params = dp.init(jax.random.PRNGKey(0), sg, x_pad)
+    out_dp = jax.jit(lambda p, xx: dp.apply(p, sg, xx))(params, x_pad)
+    g1 = build_heterograph(src, dst, rel, n, r, tile=8)
+    h = layers[0].apply(params[0], g1, jnp.asarray(x))
+    out_1 = layers[1].apply(params[1], g1, h)
+    relabeled = info.relabel(np.arange(n))
+    np.testing.assert_allclose(
+        np.asarray(out_dp)[relabeled], np.asarray(out_1),
+        rtol=2e-3, atol=1e-4,
+    )
+
+
+@pytest.mark.slow
 def test_check_vma_value_and_grad():
     """shard_map runs vma-checked by default now (round-2 weak #8):
     replicated weights are pcast-to-varying at the custom_vjp wrappers
