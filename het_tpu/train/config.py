@@ -52,6 +52,10 @@ class TrainConfig:
     tile: int = 128
     # early stopping on training loss (0 = disabled)
     patience: int = 0
+    # execute the model THROUGH the compiler (train/compiled.py): each
+    # RGAT layer core runs as a compiled Inter-Op DSL program (parse ->
+    # passes -> flag rewrites -> fuse -> Op-Spec schedule -> lowering)
+    use_compiler: bool = False
     # minibatch mode (reference --full_graph_training False path)
     batch_size: int = 1024
     fanout: int = 10
@@ -97,6 +101,8 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--no_warm_up", action="store_true")
     p.add_argument("--tile", type=int, default=128)
     p.add_argument("--patience", type=int, default=0)
+    p.add_argument("--use_compiler", action="store_true",
+                   help="run the model through the compiled DSL pipeline")
     p.add_argument("--minibatch", action="store_false",
                    dest="full_graph_training",
                    help="neighbor-sampled minibatch training")

@@ -48,6 +48,24 @@ def build_model(cfg: TrainConfig, data: Dataset):
     # Round-1 stored params in bf16 directly, which also degraded the Adam
     # state; the master-weight form is the standard TPU recipe.
     dt = jnp.float32
+    if cfg.use_compiler:
+        from .compiled import CompiledRGATModel
+
+        assert cfg.model.upper() == "RGAT", (
+            "--use_compiler drives the RGAT family (the reference's own "
+            "rgat.inter-op program); other families are hand-written"
+        )
+        return CompiledRGATModel(
+            in_feat=cfg.n_infeat,
+            hidden=cfg.hidden,
+            num_classes=ncls,
+            num_rels=g.num_rels,
+            num_layers=max(cfg.num_layers, 1),
+            compact=cfg.compact,
+            multiply_first=cfg.multiply_first,
+            dropout=cfg.dropout,
+            param_dtype=dt,
+        )
     if cfg.model.upper() == "RGAT":
         return RGATModel(
             in_feat=cfg.n_infeat,
@@ -122,6 +140,19 @@ def train(
     # flat at all scales (pure transfer-bound) before this device_put
     data = dataclasses.replace(data, graph=jax.device_put(data.graph))
     g = data.graph
+    if cfg.compact:
+        dup = g.compact_duplication("src")
+        if dup is not None and dup < 1.5:
+            import warnings
+
+            warnings.warn(
+                f"--compact_as_of_node_flag: duplication factor {dup:.2f} "
+                "(edges per unique (rel, node) pair) is < 1.5 on this "
+                "graph; compact materialization mostly adds the expand "
+                "indirection here and measured as a net slowdown at this "
+                "regime — consider dropping the flag",
+                stacklevel=2,
+            )
     key = jax.random.PRNGKey(cfg.seed)
     k_embed, k_model, k_drop = jax.random.split(key, 3)
 
