@@ -35,8 +35,13 @@ def _distmult(emb, w_rel, s, r, o):
 
 
 def train_link(cfg: TrainConfig, data: Optional[Dataset] = None,
-               neg_ratio: int = 4) -> Dict[str, Any]:
-    """Link-prediction training; returns metrics incl. MRR / Hits@10."""
+               neg_ratio: int = 4, return_state: bool = False
+               ) -> Dict[str, Any]:
+    """Link-prediction training; returns metrics incl. MRR / Hits@10.
+
+    ``return_state`` adds a non-serializable ``_state`` entry (final
+    embeddings, relation weights, supervision triples) so tests can
+    re-derive the MRR independently (tests/test_accuracy_parity.py)."""
     from .. import ops as _ops
 
     _ops.set_backend(cfg.backend)
@@ -126,7 +131,16 @@ def train_link(cfg: TrainConfig, data: Optional[Dataset] = None,
         losses.append(float(loss))
     wall = time.perf_counter() - t0
     mrr, hits10 = mrr_eval(params, jax.random.PRNGKey(1))
+    state = {}
+    if return_state:
+        state["_state"] = {
+            "emb": np.asarray(encode(params)),
+            "w_rel": np.asarray(params["w_rel"]),
+            "sup": (np.asarray(sup_s), np.asarray(sup_r),
+                    np.asarray(sup_o)),
+        }
     return {
+        **state,
         "task": "link_prediction",
         "dataset": data.name,
         "loss_list": losses,

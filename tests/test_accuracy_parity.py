@@ -17,7 +17,58 @@ import optax
 import pytest
 
 from het_tpu.data import load_dataset
-from het_tpu.models import RGCNModel
+from het_tpu.models import HGTModel, RGATModel, RGCNModel
+
+
+def _dense_adj(g):
+    """A[r][d, s] = multiplicity(s->r->d) as dense matrices (real edges)."""
+    E = g.num_edges
+    src = np.asarray(g.src)[:E]
+    dst = np.asarray(g.dst)[:E]
+    rel = np.asarray(g.rel)[:E]
+    A = np.zeros((g.num_rels, g.num_nodes, g.num_nodes), dtype=np.float32)
+    np.add.at(A, (rel, dst, src), 1.0)
+    return jnp.asarray(A)
+
+
+def _train_pair(fwd_a, pa0, fwd_b, pb0, x, labels, train_idx, steps=30,
+                lr=5e-2):
+    """Train two forward functions side by side from their own params;
+    return (loss lists, final params)."""
+
+    def make(forward, params):
+        tx = optax.adam(lr)
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            logp = jax.nn.log_softmax(forward(p, x), axis=-1)
+            ll = jnp.take(logp, train_idx, axis=0)
+            ly = jnp.take(labels, train_idx, axis=0)
+            return -jnp.mean(jnp.take_along_axis(ll, ly[:, None], axis=1))
+
+        @jax.jit
+        def step(p, opt):
+            l, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt = tx.update(grads, opt, p)
+            return optax.apply_updates(p, updates), opt, l
+
+        return step, params, opt
+
+    step_a, pa, oa = make(fwd_a, pa0)
+    step_b, pb, ob = make(fwd_b, pb0)
+    la_list, lb_list = [], []
+    for _ in range(steps):
+        pa, oa, la = step_a(pa, oa)
+        pb, ob, lb = step_b(pb, ob)
+        la_list.append(float(la))
+        lb_list.append(float(lb))
+    return la_list, lb_list, pa, pb
+
+
+def _acc(forward, p, x, labels, idx):
+    pred = jnp.argmax(forward(p, x), axis=-1)
+    return float(jnp.mean(
+        (jnp.take(pred, idx) == jnp.take(labels, idx)).astype(jnp.float32)))
 
 
 def _dense_operators(g):
@@ -104,3 +155,164 @@ def test_rgcn_accuracy_parity_vs_dense_math():
                                                    test_idx)
     assert ta > 0.5, ta  # planted labels are learnable
     assert abs(ta - tb) <= 0.05 and abs(sa - sb) <= 0.08, (ta, tb, sa, sb)
+
+
+def test_rgat_accuracy_parity_vs_dense_math():
+    """Framework RGAT (heads, raw edge softmax) vs an independent dense
+    twin (per-relation dense adjacency einsums, no shared op code):
+    per-step losses allclose + final accuracy within tolerance from
+    identical init (VERDICT r3 missing #4)."""
+    data = load_dataset("aifb", scale=0.02, num_classes=4, seed=1, tile=8)
+    g = data.graph
+    F, HID, H, C = 12, 16, 2, 4
+    model = RGATModel(
+        in_feat=F, hidden=HID, num_classes=C, num_rels=g.num_rels,
+        num_heads=H, num_layers=2, dropout=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.num_nodes, F))
+    params = model.init(jax.random.PRNGKey(1), g, x)
+    labels = jnp.asarray(data.labels, jnp.int32)
+    train_idx = jnp.asarray(data.train_idx, jnp.int32)
+    test_idx = jnp.asarray(data.test_idx, jnp.int32)
+    A = _dense_adj(g)
+
+    lp = params["params"]
+
+    def dense_layer(x, W, al, ar, bias):
+        Z = jnp.einsum("sk,rhkd->rhsd", x, W)
+        L = jnp.einsum("rhsd,rhd->rhs", Z, al)
+        Rt = jnp.einsum("rhsd,rhd->rhs", Z, ar)  # indexed by dst node
+        raw = L[:, :, None, :] + Rt[:, :, :, None]  # (R, H, d, s)
+        raw = jnp.where(A[:, None] > 0, raw, 0.0)  # non-edges never exp'd
+        E = jnp.exp(jax.nn.leaky_relu(raw, 0.2))
+        W8 = A[:, None] * E
+        denom = W8.sum(axis=(0, 3))  # (H, d)
+        num = jnp.einsum("rhds,rhse->hde", W8, Z)
+        cond = denom[..., None] > 0
+        # double-where: a plain epsilon clamp NaNs in the backward (the
+        # clamp value squares to 0 in f32 -> 0/0 on isolated nodes)
+        out = jnp.where(cond, num / jnp.where(cond, denom[..., None], 1.0),
+                        0.0)  # (H, d, D)
+        n = x.shape[0]
+        return jnp.transpose(out, (1, 0, 2)).reshape(n, -1) + bias
+
+    def dense_forward(p, x):
+        h = dense_layer(
+            x, p["RGATLayer_0"]["conv_weights"], p["RGATLayer_0"]["attn_l"],
+            p["RGATLayer_0"]["attn_r"], p["RGATLayer_0"]["h_bias"],
+        )
+        h = jax.nn.relu(h)
+        return dense_layer(
+            h, p["RGATLayer_1"]["conv_weights"], p["RGATLayer_1"]["attn_l"],
+            p["RGATLayer_1"]["attn_r"], p["RGATLayer_1"]["h_bias"],
+        )
+
+    fwd_frame = lambda p, xx: model.apply({"params": p}, g, xx)  # noqa: E731
+    la, lb, pa, pb = _train_pair(
+        fwd_frame, lp, dense_forward, lp, x, labels, train_idx
+    )
+    np.testing.assert_allclose(la, lb, rtol=2e-2, atol=2e-3)
+    ta = _acc(fwd_frame, pa, x, labels, train_idx)
+    tb = _acc(dense_forward, pb, x, labels, train_idx)
+    sa = _acc(fwd_frame, pa, x, labels, test_idx)
+    sb = _acc(dense_forward, pb, x, labels, test_idx)
+    assert ta > 0.5, ta
+    assert abs(ta - tb) <= 0.05 and abs(sa - sb) <= 0.08, (ta, tb, sa, sb)
+
+
+def test_hgt_accuracy_parity_vs_dense_math():
+    """Framework HGT (typed softmax scaled by rel_pri/sqrt(dk), skip-gated
+    output) vs an independent dense twin, trained side by side."""
+    data = load_dataset("aifb", scale=0.02, num_classes=4, seed=2, tile=8)
+    g = data.graph
+    F, HID, H, C = 12, 16, 2, 4
+    model = HGTModel(
+        in_dim=F, hidden=HID, num_classes=C, num_ntypes=g.num_ntypes,
+        num_rels=g.num_rels, num_heads=H, num_layers=2, dropout=0.0,
+        stable_softmax="clip",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (g.num_nodes, F))
+    params = model.init(jax.random.PRNGKey(4), g, x)
+    labels = jnp.asarray(data.labels, jnp.int32)
+    train_idx = jnp.asarray(data.train_idx, jnp.int32)
+    test_idx = jnp.asarray(data.test_idx, jnp.int32)
+    A = _dense_adj(g)
+
+    lp = params["params"]
+
+    def dense_layer(x, p):
+        dk = p["k_linears"].shape[-1]
+        K = jnp.einsum("sk,hkd->hsd", x, p["k_linears"][0])
+        Q = jnp.einsum("sk,hkd->hsd", x, p["q_linears"][0])
+        V = jnp.einsum("sk,hkd->hsd", x, p["v_linears"][0])
+        mu = p["relation_pri"] / np.sqrt(dk)  # (R, H)
+        AQ = jnp.einsum("hdk,rhkl->rhdl", Q, p["relation_att"])
+        S = jnp.einsum("rhdl,hsl->rhds", AQ, K)
+        # mirror the framework's stable_softmax="clip" (ops.CLIP_LOGIT);
+        # mask non-edges BEFORE exp (overflow -> 0*inf = NaN otherwise)
+        S = jnp.where(A[:, None] > 0, S, 0.0)
+        E = jnp.exp(jnp.clip(S * mu[:, :, None, None], -60.0, 60.0))
+        W8 = A[:, None] * E
+        denom = W8.sum(axis=(0, 3))  # (H, d)
+        M = jnp.einsum("hsk,rhkl->rhsl", V, p["relation_msg"])
+        num = jnp.einsum("rhds,rhsl->hdl", W8, M)
+        cond = denom[..., None] > 0
+        out = jnp.where(cond, num / jnp.where(cond, denom[..., None], 1.0),
+                        0.0)
+        n = x.shape[0]
+        new_h = jnp.transpose(out, (1, 0, 2)).reshape(n, -1)
+        gated = jax.nn.sigmoid(p["skip"][0, 0, 0, 0]) * p["a_linears"][0, 0]
+        return new_h @ gated
+
+    def dense_forward(p, x):
+        h = dense_layer(x, p["HGTLayer_0"])
+        return dense_layer(h, p["HGTLayer_1"])
+
+    fwd_frame = lambda p, xx: model.apply({"params": p}, g, xx)  # noqa: E731
+    la, lb, pa, pb = _train_pair(
+        fwd_frame, lp, dense_forward, lp, x, labels, train_idx, lr=2e-2
+    )
+    # identical math, identical init: the early trajectory tracks tightly;
+    # past ~12 steps f32 reduction-order noise amplifies chaotically
+    # through Adam (HGT's exp(score*mu) is the most sensitive family), so
+    # the late steps are held to the accuracy checks below instead
+    np.testing.assert_allclose(la[:12], lb[:12], rtol=2e-2, atol=2e-3)
+    ta = _acc(fwd_frame, pa, x, labels, train_idx)
+    tb = _acc(dense_forward, pb, x, labels, train_idx)
+    sa = _acc(fwd_frame, pa, x, labels, test_idx)
+    sb = _acc(dense_forward, pb, x, labels, test_idx)
+    assert ta > 0.5, ta
+    assert abs(ta - tb) <= 0.05 and abs(sa - sb) <= 0.08, (ta, tb, sa, sb)
+
+
+def test_link_mrr_independent_check():
+    """The jitted MRR eval must agree with a from-scratch numpy
+    re-derivation (same candidates, independent scoring/ranking code)."""
+    from het_tpu.train.config import TrainConfig
+    from het_tpu.train.link import train_link
+
+    cfg = TrainConfig(
+        dataset="fb15k", dataset_scale=0.01, n_infeat=16, hidden=16,
+        num_layers=1, num_epochs=8, dropout=0.0, tile=8, seed=0,
+    )
+    m = train_link(cfg, return_state=True)
+    st = m["_state"]
+    emb, w_rel = st["emb"], st["w_rel"]
+    s, r, o = st["sup"]
+    # reproduce the eval's candidate draw exactly, then rank in numpy
+    cand = np.asarray(
+        jax.random.randint(
+            jax.random.PRNGKey(1), (s.shape[0], 100), 0, emb.shape[0]
+        )
+    )
+    pos = np.sum(emb[s] * w_rel[r] * emb[o], axis=-1)
+    e_s = emb[s] * w_rel[r]
+    cand_sc = np.einsum("bd,bcd->bc", e_s, emb[cand])
+    rank = 1 + np.sum(cand_sc > pos[:, None], axis=1)
+    mrr_np = float(np.mean(1.0 / rank))
+    hits_np = float(np.mean(rank <= 10))
+    # candidate scores that tie the positive (duplicate candidates, the
+    # true object itself) can flip strict comparisons between the jit and
+    # numpy reductions; the metrics must still agree closely
+    assert abs(m["mrr"] - mrr_np) <= 0.02, (m["mrr"], mrr_np)
+    assert abs(m["hits@10"] - hits_np) <= 0.02, (m["hits@10"], hits_np)
