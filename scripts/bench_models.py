@@ -1,6 +1,8 @@
 """Chained-slope fwd+bwd benchmark for every model family (not just the
 RGAT headline): RGAT / HGT / RGCN / GAT on the real ogbn-mag sample,
-pallas backend, flags on and off.  Writes docs/MODELS_r3.json.
+pallas backend, flags on and off.  Writes docs/MODELS_r4.json
+(bf16 mixed-precision columns + the compact-duplication factor the
+compact flag's cost model keys on).
 
 Unlike the driver sweep (scripts/benchmark_all.py) these numbers carry no
 per-epoch host-sync RTT — they are the honest per-step device times
@@ -31,9 +33,17 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(0), (g.num_nodes, f_in))
     labels = jnp.asarray(data.labels) % 8
 
-    def step_time(model):
+    def step_time(model, bf16=False):
         ops.set_backend("xla")
         params = model.init(jax.random.PRNGKey(1), g, x)
+        xx0 = x
+        if bf16:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params,
+            )
+            xx0 = x.astype(jnp.bfloat16)
         ops.set_backend("pallas")
 
         def step(xx):
@@ -47,7 +57,7 @@ def main():
             return jax.value_and_grad(loss_fn)(params)
 
         try:
-            return op_time_ms(step, x, n1=2, n2=14, trials=2)
+            return op_time_ms(step, xx0, n1=2, n2=14, trials=2)
         finally:
             ops.set_backend("xla")
 
@@ -80,16 +90,26 @@ def main():
         "GAT": GATModel(in_feat=f_in, hidden=64, num_classes=8,
                         num_heads=heads),
     }
-    out = {"edges": g.num_edges, "config": {"H": heads, "f_in": f_in}}
+    out = {
+        "edges": g.num_edges,
+        "config": {"H": heads, "f_in": f_in},
+        # compact's cost model: edges per unique (rel, node) pair — near
+        # 1 the flag only adds the expand indirection (train/driver.py
+        # warns below 1.5)
+        "compact_duplication_src": round(g.compact_duplication("src"), 3),
+    }
     for name, model in cases.items():
         t = step_time(model)
         out[name] = {
             "ms": round(t, 3),
             "Medges_per_s": round(g.num_edges / t / 1e3, 2),
         }
+        t16 = step_time(model, bf16=True)
+        out[name]["bf16_ms"] = round(t16, 3)
+        out[name]["bf16_Medges_per_s"] = round(g.num_edges / t16 / 1e3, 2)
         print(name, out[name], flush=True)
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "MODELS_r3.json")
+                        "MODELS_r4.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
