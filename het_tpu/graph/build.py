@@ -399,6 +399,25 @@ def build_heterograph(
             canon_to_row=_i32(to_run),
             canon_tables=build_tile_tables(canon_ptr, runs_cap),
         )
+        # src-side composed maps in edge_sort_perm order (CompactInfo
+        # docstring): backward payloads build directly in the sorted-
+        # reduce's edge order from small-source gathers, skipping the
+        # EP-row payload permute.  Padding entries read row 0 (finite;
+        # the kernel's range compare drops them).
+        permS = np.asarray(compact_src.edge_sort_perm).astype(np.int64)
+        pad = permS >= E
+        self_m = np.asarray(compact_src.edge_map)[permS]
+        peer_m = np.where(pad, 0, np.asarray(compact_dst.edge_map)[permS])
+        dst_m = np.where(pad, 0, p_dst[permS])
+        inv_m = np.empty(EP, dtype=np.int64)
+        inv_m[permS] = np.arange(EP, dtype=np.int64)
+        compact_src = dataclasses.replace(
+            compact_src,
+            perm_self_map=_i32(self_m),
+            perm_peer_map=_i32(peer_m),
+            perm_dst=_i32(dst_m),
+            perm_inv=_i32(inv_m),
+        )
 
     if rel_names is None:
         rel_names = tuple(f"rel{i}" for i in range(num_rels))

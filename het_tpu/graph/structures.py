@@ -200,6 +200,17 @@ class CompactInfo:
     canon_to_row: Optional[Array] = None  # (seg.n_rows,)
     canon_tables: Optional[TileTables] = None
 
+    # -- source-side only: host-composed index maps in ``edge_sort_perm``
+    #    order, so fused-op backwards can build their payload DIRECTLY in
+    #    the sorted-reduce's edge order from small-source gathers
+    #    (compact rows / node rows) instead of permuting an EP-row payload
+    #    (EP-source permutes cannot stage in VMEM and measure 3-4 ms at
+    #    mag scale; padding entries point at row 0). --
+    perm_self_map: Optional[Array] = None  # edge_map[perm] (monotone)
+    perm_peer_map: Optional[Array] = None  # other side's edge_map[perm]
+    perm_dst: Optional[Array] = None  # dst[perm]
+    perm_inv: Optional[Array] = None  # inverse of edge_sort_perm
+
 
 _register(
     CompactInfo,
@@ -216,6 +227,10 @@ _register(
         "canon_ptr",
         "canon_to_row",
         "canon_tables",
+        "perm_self_map",
+        "perm_peer_map",
+        "perm_dst",
+        "perm_inv",
     ),
     meta_fields=(),
 )

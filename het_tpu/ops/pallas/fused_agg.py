@@ -88,6 +88,19 @@ def _pack_dt(x) -> jnp.dtype:
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 
+# Source-compact backward strategy: "permute" computes the payload once in
+# canonical order and pays one flat edge permute; "perm_direct" re-derives
+# it in edge_sort_perm order from host-composed small-source maps
+# (CompactInfo.perm_*) with no EP payload permute.  Round-4 interleaved
+# e2e A/B on the real headline step: permute 11.9/12.1 ms, perm_direct
+# 23.0/23.0 — the permuted-order random gathers (peer + ctpack) defeat
+# XLA's fusion of the payload pass far beyond what isolated gather timings
+# suggest, re-confirming the round-3 finding at composed scale.  The
+# perm_direct path and its host maps stay as the documented negative
+# result (and the maps serve future in-kernel gather experiments).
+COMPACT_BWD = "permute"
+
+
 def _packed_reduce(parts, C, pack_dt, row_ptr, n_rows, EP, E, tables,
                    perm=None, out_dt=None):
     """See :func:`~het_tpu.ops.pallas.seg_reduce.seg_sum_sorted_packed`."""
@@ -172,7 +185,7 @@ def _make_fused_op(act: str, slope: float, clip: Optional[float]):
         z = jnp.exp(
             _act_apply(raw.astype(jnp.float32), act, slope, clip)
         )  # (EP, H); finite (=1) on padding edges, dropped by the kernel
-        zf = _repeat_heads(z, D) * feat2d.astype(jnp.float32)
+        zf = _repeat_heads_mm(z, D) * feat2d.astype(jnp.float32)
         agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
@@ -282,7 +295,7 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         z, _, feat_e = _edge_terms(
             el_feat_c, er_c, infoS.edge_map, infoD.edge_map, H
         )
-        zf = _repeat_heads(z, D) * feat_e
+        zf = _repeat_heads_mm(z, D) * feat_e
         agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
@@ -316,10 +329,9 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         t2 = jnp.sum(out * ct, axis=-1)  # (N, H)
         ctpack = jnp.concatenate([ct2, s, t2], axis=1)  # (N, HD + 2H)
 
-        # payload computed ONCE, in canonical order, where every gather
-        # either streams (ctpack[dst] is monotone) or reads a compact-row
-        # source (module docstring: the permuted-recompute alternative
-        # measured 16.0 vs 9.9 ms for this whole pullback)
+        # canonical-order pipeline: every gather either streams
+        # (ctpack[dst] is monotone) or reads a compact-row source; feeds
+        # d_er's canonical (dst, rel)-run reduce
         z, actd, feat_e = _edge_terms(
             el_feat_c, er_c, infoS.edge_map, infoD.edge_map, H
         )
@@ -328,9 +340,8 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         s_d = cpe[:, HD : HD + H]
         t2d = cpe[:, HD + H :]
         alpha = safe_div(z, s_d)
-        t1 = _head_sums(feat_e * ctd, H, D)
+        t1 = _head_sums_mm(feat_e * ctd, H, D)
         draw = alpha * (t1 - t2d) * actd
-        dfeat = _repeat_heads(alpha, D) * ctd
 
         # destination side: canonical (dst, rel) runs — no reorder at all
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
@@ -339,10 +350,38 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
             infoD.canon_tables, out_dt=pack_dt,
         )
         d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
-        # source side: one flat permute of the packed payload
-        redS = _sorted_compact_reduce(
-            infoS, [draw, dfeat], H + HD, pack_dt, EP, E, out_dt=pack_dt
-        )
+
+        if COMPACT_BWD == "perm_direct" and infoS.perm_self_map is not None:
+            # source side: RE-derive the payload directly in
+            # edge_sort_perm order from the host-composed maps — all
+            # gathers read compact/node-sized sources (streamable or
+            # VMEM-stageable), no EP-row payload permute (which cannot
+            # stage in VMEM and measures 3-4 ms at mag scale).  The
+            # duplicated elementwise work fuses into the gather pass.
+            zp, actdp, feat_p = _edge_terms(
+                el_feat_c, er_c, infoS.perm_self_map, infoS.perm_peer_map,
+                H,
+            )
+            cpp = take_rows(ctpack, infoS.perm_dst).astype(jnp.float32)
+            ctdp = cpp[:, :HD]
+            s_dp = cpp[:, HD : HD + H]
+            t2dp = cpp[:, HD + H :]
+            alphap = safe_div(zp, s_dp)
+            t1p = _head_sums_mm(feat_p * ctdp, H, D)
+            drawp = alphap * (t1p - t2dp) * actdp
+            dfeatp = _repeat_heads_mm(alphap, D) * ctdp
+            redS = _packed_reduce(
+                [drawp, dfeatp], H + HD, pack_dt, infoS.edge_row_ptr,
+                infoS.seg.n_rows, EP, E, infoS.edge_tables,
+                out_dt=pack_dt,
+            )
+        else:
+            # source side: one flat permute of the canonical packed payload
+            dfeat = _repeat_heads_mm(alpha, D) * ctd
+            redS = _sorted_compact_reduce(
+                infoS, [draw, dfeat], H + HD, pack_dt, EP, E,
+                out_dt=pack_dt,
+            )
         d_el_c = redS[:, :H].astype(el_c.dtype)
         d_feat_c = redS[:, H : H + HD].astype(feat_c2d.dtype)
         return d_feat_c, d_el_c, d_er_c.astype(er_c.dtype), None
@@ -374,7 +413,7 @@ def _make_src_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         pack_dt = _pack_dt(feat_c2d)
         z = jnp.exp(_act_apply(raw_e.astype(jnp.float32), act, slope, clip))
         feat_e = take_rows(feat_c2d, infoS.edge_map).astype(jnp.float32)
-        zf = _repeat_heads(z, D) * feat_e
+        zf = _repeat_heads_mm(z, D) * feat_e
         agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + HD]
         out = safe_div(num.reshape(-1, H, D), s[..., None])
@@ -771,7 +810,7 @@ def _make_hgt_compact_attention_op(clip: Optional[float]):
         feat_e = take_rows(msg2d, g.compact_src.edge_map).astype(
             jnp.float32
         )
-        zf = _repeat_heads(z, dk) * feat_e
+        zf = _repeat_heads_mm(z, dk) * feat_e
         agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + Hdk]
         out = safe_div(num.reshape(-1, H, dk), s[..., None])
@@ -1045,7 +1084,7 @@ def _make_hgt_plain_attention_op(clip: Optional[float]):
         mu_e = take_rows(mu, g.rel).astype(jnp.float32)
         raw = score * mu_e
         z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
-        zf = _repeat_heads(z, dk) * msg2d.astype(jnp.float32)
+        zf = _repeat_heads_mm(z, dk) * msg2d.astype(jnp.float32)
         agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + Hdk]
         out = safe_div(num.reshape(-1, H, dk), s[..., None])
@@ -1214,7 +1253,7 @@ def _make_hgt_plain_full_op(clip: Optional[float]):
         msg_e = take_rows(
             msg_rows.reshape(-1, Hdk), seg.inv
         ).astype(jnp.float32)
-        zf = _repeat_heads(z, dk) * msg_e
+        zf = _repeat_heads_mm(z, dk) * msg_e
         agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + Hdk]
         out = safe_div(num.reshape(-1, H, dk), s[..., None])
