@@ -41,27 +41,12 @@ class GATLayer(nn.Module):
         attn_r = self.param("attn_r", init, (H, D), self.param_dtype)
 
         x = nn.Dropout(rate=self.feat_drop)(x, deterministic=deterministic)
-        # STRICTLY 2D head-major layout discipline for GAT's wide payloads:
-        # (N, H, D) views + einsum backwards pick conflicting XLA layouts
-        # (~2 GB of physical copies in the step HLO, docs/ROUND2_NOTES.md
-        # "GAT residue").  el/er ride one block-diagonal (H*D, 2H) matmul.
-        feat2d = x @ w  # (N, H*D) dense: single relation
-        eye = jnp.eye(H, dtype=jnp.float32)
-        a_lr = jnp.concatenate(
-            [
-                (attn_l.astype(jnp.float32)[:, :, None] * eye[:, None, :])
-                .reshape(H * D, H),
-                (attn_r.astype(jnp.float32)[:, :, None] * eye[:, None, :])
-                .reshape(H * D, H),
-            ],
-            axis=1,
-        )  # (H*D, 2H) block-diagonal; grads flow back to attn_l/attn_r
-        eler = feat2d @ a_lr.astype(feat2d.dtype)  # (N, 2H)
-        el, er = eler[:, :H], eler[:, H:]
-        # node-level fused aggregation: per-edge features never materialize
-        # outside the reduce producers (ops.gat_node_fused2d)
-        h = ops.gat_node_fused2d(
-            g, feat2d, el, er, self.leaky_relu_slope, num_heads=H
+        # whole layer core (projection + logits + softmax + aggregation)
+        # through one op: fully fused on the pallas backend (the backward
+        # reassociations need the projection inside the boundary), the
+        # strictly-2D composed path otherwise (ops.gat_layer_core)
+        h = ops.gat_layer_core(
+            g, x, w, attn_l, attn_r, self.leaky_relu_slope
         )  # (N, H*D)
         if self.residual:
             if self.in_feat == H * D:

@@ -550,12 +550,22 @@ def expand_compact(g: HeteroGraph, c: Array, side: str = "src") -> Array:
     scatter-add."""
     from . import get_backend
 
+    import numpy as _np
+
     info = g.compact_src if side == "src" else g.compact_dst
     assert info is not None
-    # measured: the sorted-kernel backward beats XLA's unsorted scatter
-    # even for H-column logit cotangents (e2e 27.8 vs 32.2 ms on mag when
-    # narrow expansions were gated back to the scatter)
-    if get_backend() == "pallas" and info.edge_sort_perm is not None:
+    # per-shape dispatch (round-4): the sorted-kernel backward pays a flat
+    # edge permute + folded reduce, which only amortizes on payloads of
+    # >= ~16 lanes; for narrower cotangents ((EP, H) logit expansions)
+    # XLA's scatter-add lowering measured ~3.5x faster at mag scale
+    # (docs/BREAKDOWN_r3.md: 27.8 vs 7.9 ms fwd+grad at H=4), so those
+    # route to the XLA path on both backends
+    lanes = int(_np.prod(c.shape[1:]))
+    if (
+        get_backend() == "pallas"
+        and info.edge_sort_perm is not None
+        and lanes >= 16
+    ):
         return _expand_compact_sorted(c, info, g)
     return take_rows(c, info.edge_map)
 

@@ -1385,3 +1385,215 @@ def hgt_fused_plain_full(
         match_vma(q_nodes, mu),
         g,
     )
+
+
+# --------------------------- fully-fused homogeneous GAT layer core
+
+# save the forward's per-edge feature gather as a residual below this
+# byte size (re-gathering (EP, H*D) measures 2.6 ms at mag scale vs ~0.5
+# to re-read the saved buffer; above the cap — full-mag wide layers — the
+# memory-lean recompute keeps the step on one chip)
+GAT_SAVE_FEAT_BYTES = 512 << 20
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gat_layer_op(slope: float, clip: Optional[float]):
+    """Fully-fused homogeneous GAT layer core: projection x·W, attention
+    logits el/er, raw-exp edge softmax and weighted aggregation in ONE
+    custom-VJP op (reference ``fused_gat_csr``, GAT/FusedGAT.cu.h:8-21 —
+    plus the projection, which the reference leaves to torch).
+
+    Pulling the projection inside the boundary is what unlocks the
+    backward reassociations that remove every WIDE source-side pass
+    (round-3's GAT was the slowest family, 32.2 ms at the bench config,
+    precisely because of them):
+
+    * ``dW``(aggregation) = x_eᵀ @ (alpha ⊙ ct_dst) — ONE MXU contraction
+      over edges instead of a (src_space, H*D) segment-reduced
+      d_feat followed by the matmul pullback;
+    * ``dx``(aggregation) = src-CSR reduce of the HEAD-MIXED payload
+      sum_h alpha_h * (ct W_hᵀ)[dst] — F lanes instead of H*D, with
+      (ct W_hᵀ) computed once at node scale (requires F <= H*D; the
+      caller falls back to the unfused path otherwise);
+    * d_el / d_er and the mixed dx payload share one packed src-CSR
+      permute+reduce; d_er reduces over the canonical dst CSR directly.
+
+    Strictly-2D layout discipline throughout (see _make_node_fused_op).
+    """
+
+    def _block_alr(al, ar, H, D):
+        eye = jnp.eye(H, dtype=jnp.float32)
+        return jnp.concatenate(
+            [
+                (al.astype(jnp.float32)[:, :, None] * eye[:, None, :])
+                .reshape(H * D, H),
+                (ar.astype(jnp.float32)[:, :, None] * eye[:, None, :])
+                .reshape(H * D, H),
+            ],
+            axis=1,
+        )  # (H*D, 2H)
+
+    def _block_wT(w, H, D, F):
+        """(H*D, H*F) block-diagonal transpose: u = ct @ blk gives
+        u[:, hF:(h+1)F] = ct_h @ W_hᵀ."""
+        w3 = w.astype(jnp.float32).reshape(F, H, D)
+        blocks = []
+        for h in range(H):
+            row = [jnp.zeros((D, F), jnp.float32)] * H
+            row[h] = w3[:, h, :].T
+            blocks.append(jnp.concatenate(row, axis=1))
+        return jnp.concatenate(blocks, axis=0)  # (H*D, H*F)
+
+    def _node_terms(x2d, w, al, ar, H, D):
+        feat2d = jax.lax.dot(
+            x2d.astype(jnp.float32), w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # (S, HD)
+        eler = jax.lax.dot(
+            feat2d, _block_alr(al, ar, H, D),
+            preferred_element_type=jnp.float32,
+        )
+        return feat2d, eler[:, :H], eler[:, H:]
+
+    def _edge_z(el, er, g):
+        el_e = gather_nodes(el, g.src)
+        er_e = gather_dst(g, er)
+        raw = el_e + er_e
+        z = jnp.exp(_act_apply(raw, "leaky_relu", slope, clip))
+        actd = _act_deriv(raw, "leaky_relu", slope, clip)
+        return z, actd
+
+    def _fwd(x2d, w, al, ar, g):
+        H, D = al.shape
+        HD = H * D
+        pack_dt = _pack_dt(x2d)
+        feat2d, el, er = _node_terms(x2d, w, al, ar, H, D)
+        z, _ = _edge_z(el, er, g)
+        feat_e = gather_nodes(feat2d, g.src)  # (EP, HD) random
+        zf = _repeat_heads_mm(z, D) * feat_e
+        if _fold_width(H + HD) == _fold_width(HD):
+            agg = _packed_reduce_dst(g, [z, zf], H + HD, pack_dt)
+            s, num = agg[:, :H], agg[:, H : H + HD]
+        else:
+            s = _packed_reduce_dst(g, [z], H, pack_dt)[:, :H]
+            num = _packed_reduce_dst(g, [zf], HD, pack_dt)[:, :HD]
+        out = safe_div(num, _repeat_heads_mm(s, D))
+        save = feat_e if feat_e.size * 4 <= GAT_SAVE_FEAT_BYTES else None
+        return out.astype(x2d.dtype), (s, out, save)
+
+    @jax.custom_vjp
+    def op(x2d, w, al, ar, g):
+        return _fwd(x2d, w, al, ar, g)[0]
+
+    def fwd_rule(x2d, w, al, ar, g):
+        out_cast, (s, out, save) = _fwd(x2d, w, al, ar, g)
+        return out_cast, (x2d, w, al, ar, s, out, save, g)
+
+    def _bwd(res, ct):
+        x2d, w, al, ar, s, out, save, g = res
+        H, D = al.shape
+        HD = H * D
+        F = x2d.shape[1]
+        S = x2d.shape[0]
+        N = g.num_nodes
+        EP, E = g.num_padded_edges, g.num_edges
+        pack_dt = _pack_dt(x2d)
+        feat2d, el, er = _node_terms(x2d, w, al, ar, H, D)
+        z, actd = _edge_z(el, er, g)
+        ct2 = ct.astype(jnp.float32)
+        t2 = _head_sums_mm(out * ct2, H, D)  # (N, H)
+        ctd = gather_dst(g, ct2)  # (EP, HD) monotone
+        cpe = gather_dst(g, jnp.concatenate([s, t2], axis=1))
+        s_d, t2d = cpe[:, :H], cpe[:, H:]
+        feat_e = save if save is not None else gather_nodes(feat2d, g.src)
+        alpha = safe_div(z, s_d)
+        t1 = _head_sums_mm(feat_e * ctd, H, D)
+        draw = alpha * (t1 - t2d) * actd  # (EP, H)
+        dfeat_e = _repeat_heads_mm(alpha, D) * ctd  # (EP, HD)
+
+        # dW(agg): one MXU contraction over edges (padding edges carry
+        # alpha = 0 via s_d = 0)
+        x_e = gather_nodes(x2d, g.src).astype(jnp.float32)  # (EP, F)
+        dW_agg = jax.lax.dot_general(
+            x_e, dfeat_e,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (F, HD)
+
+        # dx(agg): head-mixed payload, F lanes (guaranteed F <= HD by the
+        # caller's gate), sharing the src-CSR pass with d_el
+        u = jax.lax.dot(
+            ct2, _block_wT(w, H, D, F),
+            preferred_element_type=jnp.float32,
+        )  # (N, H*F)
+        u_e = gather_dst(g, u)  # monotone
+        mix = jnp.zeros((EP, F), jnp.float32)
+        for h in range(H):
+            mix = mix + alpha[:, h : h + 1] * u_e[:, h * F : (h + 1) * F]
+        redS = _packed_reduce(
+            [draw, mix], H + F, pack_dt, g.out_row_ptr, g.src_space,
+            EP, E, g.out_tables, perm=g.out_perm, out_dt=pack_dt,
+        )
+        d_el = redS[:, :H].astype(jnp.float32)  # (S, H)
+        dx_agg = redS[:, H : H + F].astype(jnp.float32)
+        # d_er: canonical dst CSR, no reorder
+        d_er = _packed_reduce_dst(g, [draw], H, pack_dt)[:, :H].astype(
+            jnp.float32
+        )  # (N, H)
+
+        # logit path at node scale: el/er pull back through feat2d = x W
+        d_feat_node = jax.lax.dot(
+            jnp.concatenate(
+                [d_el, jnp.pad(d_er, ((0, S - N), (0, 0)))], axis=1
+            ),
+            _block_alr(al, ar, H, D).T,
+            preferred_element_type=jnp.float32,
+        )  # (S, HD)
+        d_al = jnp.einsum(
+            "sh,shd->hd", d_el, feat2d.reshape(S, H, D),
+            preferred_element_type=jnp.float32,
+        )
+        d_ar = jnp.einsum(
+            "sh,shd->hd",
+            jnp.pad(d_er, ((0, S - N), (0, 0))),
+            feat2d.reshape(S, H, D),
+            preferred_element_type=jnp.float32,
+        )
+        dx = dx_agg + jax.lax.dot(
+            d_feat_node, w.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        )
+        dW = dW_agg + jax.lax.dot_general(
+            x2d.astype(jnp.float32), d_feat_node,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            dx.astype(x2d.dtype),
+            dW.astype(w.dtype),
+            d_al.astype(al.dtype),
+            d_ar.astype(ar.dtype),
+            None,
+        )
+
+    op.defvjp(fwd_rule, _bwd)
+    return op
+
+
+def gat_layer_fused(
+    g: HeteroGraph,
+    x2d: Array,
+    w: Array,
+    attn_l: Array,
+    attn_r: Array,
+    *,
+    slope: float = 0.2,
+    clip: Optional[float] = None,
+) -> Array:
+    """Differentiable fully-fused GAT layer core (projection + logits +
+    softmax + aggregation).  x2d (src_space, F); w (F, H*D); attn_l/r
+    (H, D).  Returns (N, H*D).  Requires F <= H*D (the dx reassociation's
+    head-mixed payload is F lanes) and single-chip node spaces; callers
+    gate and fall back to the composed path otherwise."""
+    op = _make_gat_layer_op(float(slope), clip)
+    return op(x2d, w, attn_l, attn_r, g)

@@ -649,3 +649,58 @@ def rgcn_layer0(g: HeteroGraph, w: Array, norm_e: Array) -> Array:
     feat_e = w[g.rel, jnp.minimum(g.src, g.num_nodes - 1)]  # (EP, out)
     feat_e = g.edge_mask(feat_e)
     return rgcn_aggregate(g, feat_e, norm_e)
+
+
+def gat_layer_core(
+    g: HeteroGraph,
+    x2d: Array,
+    w: Array,
+    attn_l: Array,
+    attn_r: Array,
+    slope: float,
+    *,
+    stable: bool = False,
+) -> Array:
+    """Homogeneous GAT layer core: projection x·W + attention logits +
+    fused edge softmax + weighted aggregation -> (N, H*D) head-major.
+
+    On the pallas backend (raw/clip softmax, F <= H*D, single-chip node
+    spaces) the WHOLE core runs as one custom-VJP op whose backward
+    reassociates both wide source-side passes away (dW as one MXU
+    contraction over edges; dx as an F-lane head-mixed reduce) — see
+    pallas/fused_agg._make_gat_layer_op.  Reference: ``fused_gat_csr``
+    (GAT/FusedGAT.cu.h:8-21, GATOps.inc.h:130-135)."""
+    from . import get_backend
+
+    H, D = attn_l.shape
+    F = x2d.shape[1]
+    if (
+        get_backend() == "pallas"
+        and stable in (False, "raw", "clip")
+        and F <= H * D
+        and g.src_space == g.num_nodes
+    ):
+        from .pallas.fused_agg import gat_layer_fused
+
+        return gat_layer_fused(
+            g, x2d, w, attn_l, attn_r, slope=slope,
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+    # composed fallback: node-scale projection + block-diagonal logits +
+    # node-sided fused aggregation (strictly 2D, see models/gat.py notes)
+    feat2d = x2d @ w
+    eye = jnp.eye(H, dtype=jnp.float32)
+    a_lr = jnp.concatenate(
+        [
+            (attn_l.astype(jnp.float32)[:, :, None] * eye[:, None, :])
+            .reshape(H * D, H),
+            (attn_r.astype(jnp.float32)[:, :, None] * eye[:, None, :])
+            .reshape(H * D, H),
+        ],
+        axis=1,
+    )
+    eler = feat2d @ a_lr.astype(feat2d.dtype)
+    return gat_node_fused2d(
+        g, feat2d, eler[:, :H], eler[:, H:], slope, num_heads=H,
+        stable=stable,
+    )

@@ -346,3 +346,46 @@ def test_hgt_fused_plain_full_parity(pallas_backend):
     for a, b in zip(gx, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,D,F", [(2, 4, 4), (4, 8, 8), (1, 6, 3)])
+def test_gat_layer_core_parity(pallas_backend, H, D, F):
+    """The fully-fused GAT layer core (projection inside the op; backward
+    reassociations for dW/dx) must match the composed XLA path in fwd AND
+    all four gradients."""
+    from het_tpu import ops
+
+    g = random_heterograph(
+        num_nodes=96, num_edges=420, num_rels=1, seed=31, tile=8
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes, F), dtype=np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((F, H * D), dtype=np.float32) * 0.4
+    )
+    al = jnp.asarray(rng.standard_normal((H, D), dtype=np.float32) * 0.4)
+    ar = jnp.asarray(rng.standard_normal((H, D), dtype=np.float32) * 0.4)
+
+    def run(xx, ww, a, b):
+        return ops.gat_layer_core(g, xx, ww, a, b, 0.2, stable="clip")
+
+    def loss(args):
+        return jnp.sum(run(*args) ** 2)
+
+    ops.set_backend("xla")
+    out_x = run(x, w, al, ar)
+    gx = jax.grad(loss)((x, w, al, ar))
+    ops.set_backend("pallas")
+    try:
+        out_p = run(x, w, al, ar)
+        gp = jax.grad(loss)((x, w, al, ar))
+    finally:
+        ops.set_backend("xla")
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=1e-5
+    )
+    for a, b, name in zip(gp, gx, ("dx", "dW", "d_al", "d_ar")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=name,
+        )
