@@ -609,6 +609,15 @@ def seg_sum_sorted_packed(
         ps.append(jnp.zeros((ps[0].shape[0], pad), pack_dt))
     packed = ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
     if perm is not None:
+        # the permute gather runs col-major at ~20 GB/s (device trace:
+        # 2.28 ms of the 11.75 ms headline step).  Round-4 attempts to
+        # coerce it row-major — a pallas identity forcing the operand
+        # layout, and routing the gather through a pad op to mimic the
+        # 99 GB/s pad-rooted gather_dst in the same program — were both
+        # re-flipped by XLA's layout assignment (it copies the custom-call
+        # output back to col-major before the gather) and only added their
+        # own copy cost.  Documented negative result; the durable fix is a
+        # layout API for gather operands or an in-kernel gather.
         packed = take_rows(packed, perm)
     if k == 1:
         out = seg_sum_sorted_pallas_raw(
@@ -663,3 +672,36 @@ def seg_sum_dst_pallas(g: HeteroGraph, vals: Array) -> Array:
     vals2d = vals.reshape(shape[0], C)
     out = _seg_sum_core(vals2d, g)
     return out.reshape((g.num_nodes,) + shape[1:])
+
+
+def _identity_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def force_rowmajor(x: Array, *, interpret: Optional[bool] = None) -> Array:
+    """Materialize ``x`` (rows, W) in row-major layout via a trivial
+    Pallas pass.  XLA assigns col-major layouts to narrow per-edge
+    elementwise chains, which turns the downstream row GATHER (the
+    backward's edge permute) into per-element strided reads — the round-4
+    device trace showed the permute fusion running at 20 GB/s (2.28 ms of
+    an 11.75 ms step).  A pallas custom call constrains its operand and
+    result to row-major, so the gather that follows streams 64-byte rows
+    instead; the identity itself moves 2 x rows x W bytes (~0.06 ms at
+    mag scale).  NOTE: measured ineffective for the backward permute —
+    layout assignment re-flips the custom-call output col-major before
+    the gather (see seg_sum_sorted_packed) — kept for consumers that can
+    hold the row-major output directly."""
+    if interpret is None:
+        interpret = _interpret_default()
+    R, W = x.shape
+    # VMEM blocks pad lanes to 128, so size by the PADDED width
+    blk = max(8, min(R, (1 << 20) // (max(W, 128) * 4)))
+    grid = -(-R // blk)
+    return pl.pallas_call(
+        _identity_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((blk, W), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((blk, W), lambda i: (i, 0)),
+        out_shape=out_struct((R, W), x.dtype, x),
+        interpret=interpret,
+    )(x)

@@ -193,13 +193,15 @@ def train(
         )
 
     def loss_fn(gg, params, dropout_key):
+        from ..utils.misc import nll_loss
+
         # the softmax/NLL head always runs f32 (bf16 log-probs lose the
-        # small-logit tail)
-        logits = forward(gg, params, dropout_key).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ll = jnp.take(logp, train_idx, axis=0)
+        # small-logit tail); one-hot NLL — take_along_axis gathers at
+        # 2 GB/s on TPU (utils/misc.nll_loss)
+        logits = forward(gg, params, dropout_key)
+        ll = jnp.take(logits, train_idx, axis=0)
         ly = jnp.take(labels, train_idx, axis=0)
-        return -jnp.mean(jnp.take_along_axis(ll, ly[:, None], axis=1))
+        return nll_loss(ll, ly)
 
     fwd_jit = jax.jit(forward)
     loss_jit = jax.jit(loss_fn)

@@ -91,10 +91,9 @@ def train_minibatch(
         def loss_fn(p):
             x = jnp.take(p["embed"], node_map, axis=0)
             logits = model.apply(p["model"], g, x)
-            logp = jax.nn.log_softmax(logits[:B], axis=-1)
-            return -jnp.mean(
-                jnp.take_along_axis(logp, y[:B, None], axis=1)
-            )
+            from ..utils.misc import nll_loss
+
+            return nll_loss(logits[:B], y[:B])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -94,3 +94,23 @@ def warn_default_arguments(fn):
         return fn(*args, **kwargs)
 
     return wrapper
+
+
+def nll_loss(logits, labels, num_classes: int = None, mask=None):
+    """Mean negative log-likelihood computed with a ONE-HOT contraction.
+
+    ``jnp.take_along_axis(logp, labels[:, None], 1)`` lowers to a
+    per-element gather that the round-4 device trace measured at 2 GB/s
+    (0.55 ms of an 11.75 ms training step at mag scale); the one-hot
+    multiply-reduce is a fused elementwise pass.  ``mask`` (optional,
+    float) weights rows (minibatch padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    C = num_classes or logits.shape[-1]
+    oh = jax.nn.one_hot(labels, C, dtype=jnp.float32)
+    ll = jnp.sum(logp * oh, axis=-1)
+    if mask is not None:
+        return -jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return -jnp.mean(ll)

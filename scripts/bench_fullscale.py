@@ -48,11 +48,10 @@ def main(scale=1.0, dtype=jnp.bfloat16):
 
     def step(gg, xx):
         def loss_fn(p):
-            logits = model.apply(p, gg, xx).astype(jnp.float32)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(
-                jnp.take_along_axis(logp, labels[:, None], axis=1)
-            )
+            logits = model.apply(p, gg, xx)
+            from het_tpu.utils.misc import nll_loss
+
+            return nll_loss(logits, labels)
 
         return jax.value_and_grad(loss_fn)(params)
 

@@ -49,10 +49,9 @@ def main():
         def step(xx):
             def loss_fn(p):
                 logits = model.apply(p, g, xx)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                return -jnp.mean(
-                    jnp.take_along_axis(logp, labels[:, None], axis=1)
-                )
+                from het_tpu.utils.misc import nll_loss
+
+                return nll_loss(logits, labels)
 
             return jax.value_and_grad(loss_fn)(params)
 

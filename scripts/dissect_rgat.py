@@ -53,8 +53,9 @@ def t(name, fn, x0=x):
 
 
 def loss_of(logits):
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    from het_tpu.utils.misc import nll_loss
+
+    return nll_loss(logits, labels)
 
 
 # ---------------- 1. the full step and coarse splits
