@@ -71,7 +71,8 @@ class Dataset:
 
 
 def load_npy_shards(
-    root: str, *, tile: int = 128, build_compact: bool = True
+    root: str, *, tile: int = 128, build_compact: bool = True,
+    compact_union: bool = False
 ) -> Optional[HeteroGraph]:
     """Load a directory of per-relation ``(2, E)`` COO ``.npy`` shards
     (the reference's ogbn-mag format, loaders_from_npy.py:71-133)."""
@@ -101,6 +102,7 @@ def load_npy_shards(
         rel_names=names,
         tile=tile,
         build_compact=build_compact,
+        compact_union=compact_union,
     )
 
 
@@ -129,6 +131,7 @@ def _synthetic(
     seed: int = 0,
     tile: int = 128,
     build_compact: bool = True,
+    compact_union: bool = False,
 ) -> Dataset:
     n, e, r = SYNTH_SCALES[name]
     n, e = max(int(n * scale), 64), max(int(e * scale), 256)
@@ -146,7 +149,8 @@ def _synthetic(
     rw /= rw.sum()
     rel = rng.choice(r, size=e, p=rw)
     g = build_heterograph(
-        src, dst, rel, n, r, tile=tile, build_compact=build_compact
+        src, dst, rel, n, r, tile=tile, build_compact=build_compact,
+        compact_union=compact_union,
     )
     labels = _planted_labels(g, num_classes, seed)
     idx = rng.permutation(n)
@@ -171,6 +175,7 @@ def load_dataset(
     seed: int = 0,
     tile: int = 128,
     build_compact: bool = True,
+    compact_union: bool = False,
     data_roots=DEFAULT_NPY_ROOTS,
 ) -> Dataset:
     """Load ``name`` from npy shards when available, else synthesize at the
@@ -186,7 +191,8 @@ def load_dataset(
         ):
             if os.path.isdir(cand):
                 g = load_npy_shards(
-                    cand, tile=tile, build_compact=build_compact
+                    cand, tile=tile, build_compact=build_compact,
+                    compact_union=compact_union,
                 )
                 if g is not None:
                     labels = _planted_labels(g, num_classes, seed)
@@ -215,4 +221,5 @@ def load_dataset(
         seed=seed,
         tile=tile,
         build_compact=build_compact,
+        compact_union=compact_union,
     )

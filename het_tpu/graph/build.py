@@ -184,23 +184,36 @@ def _build_compact(
     pair_rel, pair_node, inverse = native.unique_pairs(
         rel, node, num_nodes, num_rels
     )
-    pair_rel = pair_rel.astype(np.int64)
-    pair_node = pair_node.astype(np.int64)
-    if force_pairs is not None:
-        extra = force_pairs - int(pair_rel.shape[0])
-        assert extra >= 0, (force_pairs, pair_rel.shape[0])
-        pair_rel = np.concatenate(
-            [pair_rel, np.full(extra, num_rels - 1, dtype=np.int64)]
-        )
-        pair_node = np.concatenate(
-            [pair_node, np.full(extra, num_nodes, dtype=np.int64)]
-        )
-    seg = build_segments(pair_rel, num_rels, tile, force_rows=force_rows)
-    # node id per padded compact row
-    node_ids = np.zeros(seg.n_rows, dtype=np.int64)
-    node_ids[np.asarray(seg.inv)] = pair_node
-    # canonical edge -> padded compact row
     E = int(rel.shape[0])
+    return _compact_from_pairs(
+        pair_rel, pair_node, np.asarray(inverse), E, num_nodes, num_rels,
+        tile, num_padded_edges, force_rows, force_pairs,
+    )
+
+
+def _compact_from_pairs(
+    pair_rel, pair_node, inverse, E, num_nodes, num_rels, tile,
+    num_padded_edges, force_rows, force_pairs, seg=None, node_ids=None,
+) -> CompactInfo:
+    """Segment/pad the unique pairs (unless a shared ``seg`` is passed —
+    the union-list build) and attach the sorted-scatter metadata."""
+    if seg is None:
+        pair_rel = pair_rel.astype(np.int64)
+        pair_node = pair_node.astype(np.int64)
+        if force_pairs is not None:
+            extra = force_pairs - int(pair_rel.shape[0])
+            assert extra >= 0, (force_pairs, pair_rel.shape[0])
+            pair_rel = np.concatenate(
+                [pair_rel, np.full(extra, num_rels - 1, dtype=np.int64)]
+            )
+            pair_node = np.concatenate(
+                [pair_node, np.full(extra, num_nodes, dtype=np.int64)]
+            )
+        seg = build_segments(pair_rel, num_rels, tile, force_rows=force_rows)
+        # node id per padded compact row
+        node_ids = np.zeros(seg.n_rows, dtype=np.int64)
+        node_ids[np.asarray(seg.inv)] = pair_node
+    # canonical edge -> padded compact row
     edge_map = np.zeros(num_padded_edges, dtype=np.int64)
     edge_map[:E] = np.asarray(seg.inv)[inverse]
 
@@ -240,6 +253,38 @@ def _build_compact(
     )
 
 
+def _build_compact_union(
+    rel, src, dst, node_space, num_rels, tile, num_padded_edges,
+    force_rows=None, force_pairs=None,
+):
+    """UNION-list compact (the reference's default ``Enabled`` kind,
+    hrt/python/utils_lite/mydgl_graph_methods: ``unique(concat([rows,
+    cols]))`` per relation — kernel_enums.h:27-47): ONE unique
+    (rel, node in srcs-union-dsts) row space shared by both endpoint
+    sides, returned as a (src-view, dst-view) CompactInfo pair over the
+    SAME padded segment rows.  A projection computed once per union row
+    serves el (via the src view) and er (via the dst view) — one
+    relational matmul instead of two.  Requires a single node space
+    (src_space == num_nodes)."""
+    E = int(rel.shape[0])
+    rel2 = np.concatenate([rel, rel])
+    node2 = np.concatenate([src, dst])
+    pair_rel, pair_node, inverse = native.unique_pairs(
+        rel2, node2, node_space, num_rels
+    )
+    inverse = np.asarray(inverse)
+    info_src = _compact_from_pairs(
+        pair_rel, pair_node, inverse[:E], E, node_space, num_rels, tile,
+        num_padded_edges, force_rows, force_pairs,
+    )
+    info_dst = _compact_from_pairs(
+        None, None, inverse[E:], E, node_space, num_rels, tile,
+        num_padded_edges, None, None,
+        seg=info_src.seg, node_ids=np.asarray(info_src.node_ids),
+    )
+    return info_src, info_dst
+
+
 def build_heterograph(
     src: np.ndarray,
     dst: np.ndarray,
@@ -253,6 +298,7 @@ def build_heterograph(
     edge_pad: int = 128,
     edge_extra: int = 1024,
     build_compact: bool = True,
+    compact_union: bool = False,
     force_sizes: Optional[dict] = None,
     src_space: Optional[int] = None,
     node_ntype: Optional[np.ndarray] = None,
@@ -363,16 +409,27 @@ def build_heterograph(
 
     compact_src = compact_dst = None
     if build_compact:
-        compact_src = _build_compact(
-            c_rel, c_src, src_space, num_rels, tile, EP,
-            force_rows=force_sizes.get("compact_src_rows"),
-            force_pairs=force_sizes.get("compact_src_pairs"),
-        )
-        compact_dst = _build_compact(
-            c_rel, c_dst, num_nodes, num_rels, tile, EP,
-            force_rows=force_sizes.get("compact_dst_rows"),
-            force_pairs=force_sizes.get("compact_dst_pairs"),
-        )
+        if compact_union:
+            assert src_space == num_nodes, (
+                "union-list compact needs one node space (single-chip); "
+                "partitioned shards use the dual-list kind"
+            )
+            compact_src, compact_dst = _build_compact_union(
+                c_rel, c_src, c_dst, num_nodes, num_rels, tile, EP,
+                force_rows=force_sizes.get("compact_src_rows"),
+                force_pairs=force_sizes.get("compact_src_pairs"),
+            )
+        else:
+            compact_src = _build_compact(
+                c_rel, c_src, src_space, num_rels, tile, EP,
+                force_rows=force_sizes.get("compact_src_rows"),
+                force_pairs=force_sizes.get("compact_src_pairs"),
+            )
+            compact_dst = _build_compact(
+                c_rel, c_dst, num_nodes, num_rels, tile, EP,
+                force_rows=force_sizes.get("compact_dst_rows"),
+                force_pairs=force_sizes.get("compact_dst_pairs"),
+            )
         # canonical (dst, rel) runs: contiguous in canonical order, so
         # dst-compact reductions need no edge permute (CompactInfo)
         if E:
@@ -423,6 +480,7 @@ def build_heterograph(
         rel_names = tuple(f"rel{i}" for i in range(num_rels))
 
     return HeteroGraph(
+        compact_shared=bool(build_compact and compact_union),
         num_nodes=int(num_nodes),
         num_edges=E,
         num_padded_edges=EP,

@@ -305,6 +305,14 @@ class HeteroGraph:
     halo_self_idx: Optional[Array] = None  # (B_self,) local row ids
     halo_send_idx: Optional[Array] = None  # (n_parts, B_off) local row ids
 
+    # True when compact_src/compact_dst are the two VIEWS of one shared
+    # union-list row space (the reference's default ``Enabled`` compact
+    # kind: unique (rel, node in srcs-union-dsts) rows,
+    # kernel_enums.h:27-47) — models may then compute one projection per
+    # union row and read el via the src view, er via the dst view.  False
+    # = dual-list kind (independent per-side lists).
+    compact_shared: bool = False
+
     @property
     def src_space(self) -> int:
         return self.num_src_space or self.num_nodes
@@ -373,6 +381,7 @@ _register(
         "ntype_offsets",
         "rel_names",
         "num_src_space",
+        "compact_shared",
     ),
 )
 

@@ -84,7 +84,38 @@ class RGATLayer(nn.Module):
             "attn_r", init, (self.num_rels, H, D), self.param_dtype
         )
 
-        if self.compact:
+        if self.compact and g.compact_shared:
+            # UNION-list compact (the reference's default ``Enabled`` kind,
+            # kernel_enums.h:27-47): compact_src/compact_dst are two views
+            # of ONE unique (rel, node in srcs-union-dsts) row space, so a
+            # single projection serves both attention sides — one
+            # relational matmul instead of two (el via the src view, er
+            # via the dst view of the same rows).
+            if self.multiply_first:
+                wa_l = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_l)
+                wa_r = jnp.einsum("rhkd,rhd->rhk", conv_w, attn_r)
+                w_cat = jnp.concatenate(
+                    [wa_l[..., None], conv_w, wa_r[..., None]], axis=-1
+                )  # (R, H, K, 1+D+1)
+                fe = ops.compact_typed_linear(g, x, w_cat, side="src")
+                h = ops.relational_fused_gat_compact(
+                    g, fe[..., 1:-1], fe[..., 0], fe[..., -1],
+                    self.leaky_relu_slope, stable=self.stable_softmax,
+                )
+            else:
+                feat_c = ops.compact_typed_linear(g, x, conv_w, side="src")
+                rel_of_row = g.compact_src.seg.row_seg
+                el_c = jnp.einsum(
+                    "uhd,uhd->uh", feat_c, jnp.take(attn_l, rel_of_row, 0)
+                )
+                er_c = jnp.einsum(
+                    "uhd,uhd->uh", feat_c, jnp.take(attn_r, rel_of_row, 0)
+                )
+                h = ops.relational_fused_gat_compact(
+                    g, feat_c, el_c, er_c, self.leaky_relu_slope,
+                    stable=self.stable_softmax,
+                )
+        elif self.compact:
             # one projected row per unique (rel, node); logits also compact.
             # Everything stays in compact rows all the way into the fused
             # single-sided aggregation (no per-edge expansion op).

@@ -601,6 +601,12 @@ def seg_sum_sorted_packed(
 
     Cp = fold_width(C)
     k = 128 // Cp if Cp <= 128 else 1
+    # note (round-4 device traces): the permuted 16-lane payload gather
+    # runs col-major at 20 GB/s while 128-lane permutes run row-major at
+    # 261 GB/s — but padding permuted payloads to full 128-lane rows was
+    # a WASH end-to-end (the extra pack pass + the k=1 kernel's larger
+    # DMA ate exactly what the faster permute saved: 2275+1104 us ->
+    # 1364+774+1257 us on the headline step), so the folded form stays
     pad = (Cp if k > 1 else -(-C // 128) * 128) - C
     ps = [p.astype(pack_dt) for p in parts]
     if pad:

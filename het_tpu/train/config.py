@@ -30,6 +30,10 @@ class TrainConfig:
     dropout: float = 0.5
     # Hector optimization flags (reference names in comments)
     compact: bool = False  # --compact_as_of_node_flag
+    # union-list compact rows (the reference's default Enabled kind:
+    # unique (rel, node) over srcs-union-dsts shared by both attention
+    # sides); False = dual-list kind (independent per-side lists)
+    compact_union: bool = False
     multiply_first: bool = False  # --multiply_among_weights_first_flag
     # numerics / backend
     dtype: str = "float32"  # float32 | bfloat16 (mixed: f32 master params)
@@ -80,6 +84,11 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument(
         "--compact_as_of_node_flag", action="store_true", dest="compact"
+    )
+    p.add_argument(
+        "--compact_union_flag", action="store_true", dest="compact_union",
+        help="union-list compact rows shared by both attention sides "
+             "(reference CompactAsOfNodeKind::Enabled)",
     )
     p.add_argument(
         "--multiply_among_weights_first_flag",

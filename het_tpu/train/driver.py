@@ -133,6 +133,7 @@ def train(
             seed=cfg.seed,
             tile=cfg.tile,
             build_compact=cfg.compact,
+            compact_union=cfg.compact_union,
         )
     # host -> device ONCE: graph leaves come out of the build as numpy;
     # since the graph rides as a jit ARGUMENT (see note below), numpy

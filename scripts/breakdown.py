@@ -3,7 +3,7 @@
 Times every component op of the RGAT fwd+bwd step (the bench.py headline)
 on the real device with chained-slope timing, plus end-to-end steps for
 both backends/flag sets, and writes a speed-of-light style table to
-docs/BREAKDOWN_r3.md — the measured counterpart of the reference's ncu
+docs/BREAKDOWN_r4.md — the measured counterpart of the reference's ncu
 speed-of-light sheets (hrt/utils/plot_roofline.py).
 
 Round-3 cost-model fixes (VERDICT r2 weak #4): the dW rows time functions
@@ -247,8 +247,8 @@ def main():
         add_e2e("xla plain", "xla", False, False)
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/BREAKDOWN_r3.md", "w") as f:
-        f.write("# Measured per-op device breakdown (round 3)\n\n")
+    with open("docs/BREAKDOWN_r4.md", "w") as f:
+        f.write("# Measured per-op device breakdown (round 4)\n\n")
         f.write(f"Graph: {g.describe()}; config H={H}, f_in={F_IN}, "
                 f"D={D}; f32; device {jax.devices()[0].device_kind}; "
                 "chained-slope timing (utils/timing.py).\n\n")
@@ -262,9 +262,9 @@ def main():
         for r in e2e:
             f.write(f"| {r['config']} | {r['measured_ms']} "
                     f"| {r['medges_per_s']} |\n")
-    with open("docs/BREAKDOWN_r3.json", "w") as f:
+    with open("docs/BREAKDOWN_r4.json", "w") as f:
         json.dump({"ops": rows, "e2e": e2e}, f, indent=1)
-    print("wrote docs/BREAKDOWN_r3.md")
+    print("wrote docs/BREAKDOWN_r4.md")
 
 
 if __name__ == "__main__":

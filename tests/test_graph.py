@@ -139,3 +139,83 @@ def test_ntype_segments():
     for n in range(60):
         t = 0 if n < 10 else (1 if n < 35 else 2)
         assert row_seg[inv[n]] == t
+
+
+def test_union_compact_build():
+    """Union-list compact (reference CompactAsOfNodeKind::Enabled —
+    unique (rel, node) over srcs-union-dsts, kernel_enums.h:27-47): both
+    views share one row space; each view's edge_map resolves to the
+    correct (rel, endpoint) pair; union rows <= sum of per-side rows."""
+    import numpy as np
+    from het_tpu.graph import build_heterograph
+
+    rng = np.random.default_rng(3)
+    n, e, r = 60, 400, 4
+    src, dst, rel = (rng.integers(0, n, e), rng.integers(0, n, e),
+                     rng.integers(0, r, e))
+    gu = build_heterograph(src, dst, rel, n, r, tile=8, compact_union=True)
+    gd = build_heterograph(src, dst, rel, n, r, tile=8)
+    assert gu.compact_shared and not gd.compact_shared
+    assert gu.compact_src.seg is gu.compact_dst.seg
+    assert gu.compact_src.seg.n_src <= (
+        gd.compact_src.seg.n_src + gd.compact_dst.seg.n_src
+    )
+    E = gu.num_edges
+    ni = np.asarray(gu.compact_src.node_ids)
+    rl = np.asarray(gu.compact_src.seg.row_seg)
+    csrc = np.asarray(gu.src)[:E]
+    cdst = np.asarray(gu.dst)[:E]
+    crel = np.asarray(gu.rel)[:E]
+    ms = np.asarray(gu.compact_src.edge_map)[:E]
+    md = np.asarray(gu.compact_dst.edge_map)[:E]
+    assert (ni[ms] == csrc).all() and (rl[ms] == crel).all()
+    assert (ni[md] == cdst).all() and (rl[md] == crel).all()
+
+
+def test_union_compact_rgat_matches_plain():
+    """RGAT with union-list compact must equal the non-compact layer."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from het_tpu.graph import build_heterograph
+    from het_tpu.models import RGATLayer
+
+    rng = np.random.default_rng(5)
+    n, e, r = 64, 360, 3
+    src, dst, rel = (rng.integers(0, n, e), rng.integers(0, n, e),
+                     rng.integers(0, r, e))
+    gu = build_heterograph(src, dst, rel, n, r, tile=8, compact_union=True)
+    g0 = build_heterograph(src, dst, rel, n, r, tile=8)
+    x = jnp.asarray(rng.standard_normal((n, 6), dtype=np.float32))
+    from het_tpu import ops as _ops
+
+    for mf in (False, True):
+        layer = RGATLayer(in_feat=6, out_feat=8, num_rels=r, num_heads=2,
+                          dropout=0.0, compact=True, multiply_first=mf)
+        plain = RGATLayer(in_feat=6, out_feat=8, num_rels=r, num_heads=2,
+                          dropout=0.0)
+        params = plain.init(jax.random.PRNGKey(0), g0, x)
+        out_0 = plain.apply(params, g0, x)
+        for backend in ("xla", "pallas"):
+            _ops.set_backend(backend)
+            try:
+                out_u = layer.apply(params, gu, x)
+            finally:
+                _ops.set_backend("xla")
+            np.testing.assert_allclose(
+                np.asarray(out_u), np.asarray(out_0), rtol=2e-4, atol=1e-5,
+                err_msg=f"multiply_first={mf} backend={backend}",
+            )
+        # grads flow (both backends covered by the backend-parity suite;
+        # here: union maps are consistent under autodiff)
+        gu_grad = jax.grad(
+            lambda p: float0_sum(layer.apply(p, gu, x))
+        )(params)
+        for leaf in jax.tree.leaves(gu_grad):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def float0_sum(t):
+    import jax.numpy as jnp
+
+    return jnp.sum(t ** 2)
