@@ -342,12 +342,19 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         alpha = safe_div(z, s_d)
         t1 = _head_sums_mm(feat_e * ctd, H, D)
         draw = alpha * (t1 - t2d) * actd
+        dfeat_full = _repeat_heads_mm(alpha, D) * ctd
 
-        # destination side: canonical (dst, rel) runs — no reorder at all
+        # destination side: canonical (dst, rel) runs — no reorder at
+        # all.  The payload deliberately matches the source side's
+        # ([draw | dfeat]): XLA CSEs the identical pack/pad expression,
+        # so ONE materialized canonical payload feeds both this kernel
+        # and the permute (the standalone [draw]-only pad chain measured
+        # ~1 ms of layout copies in the device trace); the extra lanes
+        # cost the canon kernel nothing (same folded 128-lane rows).
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
         redD = _packed_reduce(
-            [draw], H, pack_dt, infoD.canon_ptr, n_runs, EP, E,
-            infoD.canon_tables, out_dt=pack_dt,
+            [draw, dfeat_full], H + HD, pack_dt, infoD.canon_ptr, n_runs,
+            EP, E, infoD.canon_tables, out_dt=pack_dt,
         )
         d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
 
@@ -377,9 +384,8 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
             )
         else:
             # source side: one flat permute of the canonical packed payload
-            dfeat = _repeat_heads_mm(alpha, D) * ctd
             redS = _sorted_compact_reduce(
-                infoS, [draw, dfeat], H + HD, pack_dt, EP, E,
+                infoS, [draw, dfeat_full], H + HD, pack_dt, EP, E,
                 out_dt=pack_dt,
             )
         d_el_c = redS[:, :H].astype(el_c.dtype)
@@ -544,13 +550,17 @@ def _make_compact_fused_packed_op(
             infoS, [pay3], H * D1, pack_dt, EP, E, out_dt=pack_dt
         )
         d_fe = redS[:, : H * D1].astype(fe2d.dtype)
-        # dst side: canonical (dst, rel) runs
+        # dst side: canonical (dst, rel) runs over the SAME packed payload
+        # (XLA CSEs the pack with the source side's — see the unpacked
+        # op's note); draw sits at lane h*D1 of each head block
         n_runs = int(infoD.canon_ptr.shape[0]) - 1
         redD = _packed_reduce(
-            [draw], H, pack_dt, infoD.canon_ptr, n_runs, EP, E,
+            [pay3], H * D1, pack_dt, infoD.canon_ptr, n_runs, EP, E,
             infoD.canon_tables, out_dt=pack_dt,
         )
-        d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
+        d_er_c = gather_nodes(
+            redD[:, : H * D1 : D1], infoD.canon_to_row
+        )
         return d_fe, d_er_c.astype(er_c.dtype), None
 
     op.defvjp(fwd_rule, _bwd)

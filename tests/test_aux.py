@@ -140,3 +140,60 @@ def test_tuning_table_resolution():
         if kind.startswith(key) and (best is None or len(key) > best[0]):
             best = (len(key), row)
     assert best[1] is rows["TPU v5 lite"]
+
+
+def test_trace_parse_synthetic():
+    """parse_trace digests a synthetic Perfetto JSON: device-pid complete
+    events aggregate by name, envelope events (no hlo_category) are
+    excluded, per-iteration division and bandwidth derivation hold."""
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    from het_tpu.utils.trace_analysis import (classify_phase, format_table,
+                                              parse_trace)
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        # program envelope: no hlo_category -> excluded
+        {"ph": "X", "pid": 3, "tid": 2, "ts": 0, "dur": 100.0,
+         "name": "jit_step(123)",
+         "args": {"device_duration_ps": "100000000"}},
+        # two iterations of the same op
+        *[{"ph": "X", "pid": 3, "tid": 3, "ts": i * 50, "dur": 40.0,
+           "name": "fusion.1",
+           "args": {"device_duration_ps": "40000000",
+                    "hlo_category": "loop fusion",
+                    "bytes_accessed": "80000000",
+                    "model_flops": "1000",
+                    "long_name": "%fusion.1 = f32[8,8] fusion(...)"}}
+          for i in range(2)],
+        # a backward custom call (phase classification)
+        {"ph": "X", "pid": 3, "tid": 3, "ts": 200, "dur": 10.0,
+         "name": "transpose_jvp___.2",
+         "args": {"device_duration_ps": "10000000",
+                  "hlo_category": "custom-call", "bytes_accessed": "0",
+                  "long_name": "%transpose_jvp___.2 = custom-call(...)"}},
+        # host event: excluded by pid
+        {"ph": "X", "pid": 7, "tid": 1, "ts": 0, "dur": 999.0,
+         "name": "python", "args": {"device_duration_ps": "1"}},
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.trace.json.gz")
+        with gzip.open(p, "wt") as f:
+            json.dump({"traceEvents": events}, f)
+        rows, meta = parse_trace(p, iters=2)
+    assert meta["num_ops"] == 2
+    assert abs(meta["total_device_us_per_iter"] - (80 + 10) / 2) < 1e-6
+    r = {x["name"]: x for x in rows}
+    assert r["fusion.1"]["count"] == 1  # 2 events / 2 iters
+    assert abs(r["fusion.1"]["us"] - 40.0) < 1e-6
+    assert abs(r["fusion.1"]["gbps"] - 80e6 / 40e-6 / 1e9) < 1e-3
+    assert r["transpose_jvp___.2"]["phase"] == "bwd"
+    assert classify_phase("jvp(foo)", "") == "fwd"
+    table = format_table(rows)
+    assert "fusion.1" in table and "GB/s" in table
