@@ -5,7 +5,7 @@ tree only ships the 0.1 sample), RGAT compact+multiply_first, bf16.
 The graph rides as a jit ARGUMENT (closure constants would ship the whole
 21M-edge graph inside the remote compile request — HTTP 413).
 
-Writes docs/FULLSCALE_r2.json.
+Writes docs/FULLSCALE_r4.json.
 """
 
 import json
@@ -100,7 +100,7 @@ def main(scale=1.0, dtype=jnp.bfloat16):
     }
     print(res, flush=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "docs",
-                           "FULLSCALE_r2.json"), "w") as f:
+                           "FULLSCALE_r4.json"), "w") as f:
         json.dump(res, f, indent=1)
 
 
