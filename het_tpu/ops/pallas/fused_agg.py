@@ -1252,17 +1252,23 @@ def _make_hgt_plain_full_op(clip: Optional[float]):
             jnp.float32
         )
         prod = attq_rows.reshape(-1, Hdk).astype(jnp.float32) * k_rows
-        score = seg.scatter_back(
-            _head_sums(prod, H, dk)[:, :, None]
-        )[..., 0]  # (EP, H)
+        score_rows = _head_sums(prod, H, dk)  # (n_rows, H)
+        _, msg_rows = _rows_mm(v2d, w_msg, "src", g, H, dk)
+        # ONE rows->canonical take serves score AND msg: narrow (EP, H)
+        # takes through seg.inv run col-major at 7-17 GB/s (~1.8 ms each
+        # in the round-4 HGT device trace); merging into the wide take
+        # removes the standalone narrow pass entirely
+        se = take_rows(
+            jnp.concatenate(
+                [score_rows, msg_rows.reshape(-1, Hdk)], axis=1
+            ),
+            seg.inv,
+        ).astype(jnp.float32)
+        score = se[:, :H]  # (EP, H)
+        msg_e = se[:, H:]
         mu_e = take_rows(mu, g.rel).astype(jnp.float32)
         raw = score * mu_e
         z = jnp.exp(_act_apply(raw, "identity", 0.0, clip))
-        _, msg_rows = _rows_mm(v2d, w_msg, "src", g, H, dk)
-        # rows -> canonical fuses into the reduce's producer pass
-        msg_e = take_rows(
-            msg_rows.reshape(-1, Hdk), seg.inv
-        ).astype(jnp.float32)
         zf = _repeat_heads_mm(z, dk) * msg_e
         agg = _packed_reduce_dst(g, [z, zf], H + Hdk, pack_dt)
         s, num = agg[:, :H], agg[:, H : H + Hdk]
@@ -1314,7 +1320,7 @@ def _make_hgt_plain_full_op(clip: Optional[float]):
         msg_e = take_rows(
             msg_rows.reshape(-1, Hdk), seg.inv
         ).astype(jnp.float32)
-        t1 = _head_sums(msg_e * ctd, H, dk)
+        t1 = _head_sums_mm(msg_e * ctd, H, dk)
         draw = alpha * (t1 - t2d) * _act_deriv(raw, "identity", 0.0, clip)
         dscore = draw * mu_e
         rel_onehot = (
@@ -1330,11 +1336,17 @@ def _make_hgt_plain_full_op(clip: Optional[float]):
         k_rows = gather_nodes(k2d, _edge_row_idx(g, "src")).astype(
             jnp.float32
         )
-        perm_rows = seg.perm
-        dscore_rows = take_rows(dscore, perm_rows)
-        dscore_rows = jnp.where(seg.row_valid[:, None], dscore_rows, 0.0)
-        dmsg_rows = take_rows(_repeat_heads(alpha, dk) * ctd, perm_rows)
-        dmsg_rows = jnp.where(seg.row_valid[:, None], dmsg_rows, 0.0)
+        # ONE canonical->rows take serves dscore AND dmsg (narrow (EP, H)
+        # takes through seg.perm are the 7-17 GB/s pathology — see _fwd)
+        both = take_rows(
+            jnp.concatenate(
+                [dscore, _repeat_heads_mm(alpha, dk) * ctd], axis=1
+            ),
+            seg.perm,
+        )
+        both = jnp.where(seg.row_valid[:, None], both, 0.0)
+        dscore_rows = both[:, :H]
+        dmsg_rows = both[:, H:]
         d_attq_rows = _repeat_heads(dscore_rows, dk) * k_rows
         d_q_rows, d_watt = att_vjp(
             d_attq_rows.reshape(-1, H, dk).astype(attq_rows.dtype)
