@@ -98,3 +98,60 @@ def fuse_edge_softmax(prog: Program) -> int:
             rep.get(id(o), o) for o in prog.ops if id(o) not in remove
         ]
     return fused
+
+
+OP_DEFS.setdefault(
+    "FusedEdgeSoftmaxAggCompact", OpDef(("logits", "msg"), None)
+)
+
+
+def fuse_compact_agg(prog: Program) -> int:
+    """Sink a source-side compact expansion INTO the fused aggregation:
+
+        FusedEdgeSoftmaxAgg(logits, msg=ExpandCompact(msg_c, side=src))
+        -> FusedEdgeSoftmaxAggCompact(logits, msg_c)
+
+    when the expanded per-edge message has no other consumer.  This is
+    the compiler-side counterpart of the hand-written models' single-
+    sided compact aggregation (the reference's ``..._compact_as_of_node_
+    separate_coo_single_sided`` kernels): the per-edge message tensor
+    never materializes — the round-4 compiled compact RGAT spent its
+    whole deficit vs the hand path on exactly this expansion."""
+    producers = prog.producers()
+    uses = _use_counts(prog)
+    fused = 0
+    remove: set = set()
+    replacements: List[Tuple[Op, Op]] = []
+    for op in prog.ops:
+        if op.kind != "FusedEdgeSoftmaxAgg":
+            continue
+        msg = op.inputs["msg"]
+        exp = producers.get((msg.kind, msg.name))
+        if (
+            exp is None
+            or exp.kind != "ExpandCompact"
+            or exp.attrs.get("side", "src") != "src"
+            or uses.get((msg.kind, msg.name), 0) > 1
+        ):
+            continue
+        replacements.append(
+            (
+                op,
+                Op(
+                    "FusedEdgeSoftmaxAggCompact",
+                    {
+                        "logits": op.inputs["logits"],
+                        "msg": exp.inputs["input"],
+                    },
+                    op.outputs,
+                ),
+            )
+        )
+        remove.add(id(exp))
+        fused += 1
+    if fused:
+        rep = {id(old): new for old, new in replacements}
+        prog.ops = [
+            rep.get(id(o), o) for o in prog.ops if id(o) not in remove
+        ]
+    return fused

@@ -337,6 +337,14 @@ def _exec_op(env: _Env, op: Op) -> None:
         env.set(out, ops.edge_softmax_weighted_sum(g, logits, msg))
         return
 
+    if k == "FusedEdgeSoftmaxAggCompact":
+        logits = env.as_edge(op.inputs["logits"])
+        msg_c, _ = env.lookup(op.inputs["msg"])
+        env.set(
+            out, ops.edge_softmax_weighted_sum_compact(g, logits, msg_c)
+        )
+        return
+
     if k == "ExpandCompact":
         val, _ = env.lookup(op.inputs["input"])
         side = op.attrs.get("side", "src")

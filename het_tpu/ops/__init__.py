@@ -28,6 +28,7 @@ from .linear import (  # noqa: F401
 from .spmm import (  # noqa: F401
     edge_softmax,
     edge_softmax_weighted_sum,
+    edge_softmax_weighted_sum_compact,
     gat_layer_core,
     gat_node_fused,
     gat_node_fused2d,

@@ -704,3 +704,37 @@ def gat_layer_core(
         g, feat2d, eler[:, :H], eler[:, H:], slope, num_heads=H,
         stable=stable,
     )
+
+
+def edge_softmax_weighted_sum_compact(
+    g: HeteroGraph, logits: Array, msg_c: Array, *, stable=False
+) -> Array:
+    """out[dst] = sum_e softmax_dst(logits)_e * msg_c[compact_src_row(e)]
+    — the generic fused softmax aggregation with SOURCE-COMPACT messages
+    (compiler fusion target, compiler/fuse.fuse_compact_agg; reference:
+    the single-sided compact aggregation kernels,
+    rgat_layers_and_funcs.py:826).  logits (EP, H) or (EP,); msg_c
+    (UCs, [H,] D)."""
+    squeeze = logits.ndim == 1
+    if squeeze:
+        logits = logits[:, None]
+        msg_c = msg_c[:, None, :]
+    from . import get_backend
+
+    if (
+        get_backend() == "pallas"
+        and stable in (False, "raw", "clip")
+        and g.compact_src.edge_sort_perm is not None
+    ):
+        from .pallas.fused_agg import fused_softmax_agg_src_compact
+
+        out = fused_softmax_agg_src_compact(
+            g, msg_c, logits, act="identity",
+            clip=CLIP_LOGIT if stable == "clip" else None,
+        )
+        return out[:, 0, :] if squeeze else out
+    from .linear import expand_compact
+
+    msg_e = expand_compact(g, msg_c, side="src")
+    out = edge_softmax_weighted_sum(g, logits, msg_e, stable=stable)
+    return out[:, 0, :] if squeeze else out

@@ -70,6 +70,7 @@ def compile_rgat_layer(
     Returns ``fn(g, {"feature": x}, {"W", "attn_l", "attn_r"}) ->
     {"output": (N, D)}`` (plus the analyzed Program for inspection)."""
     from ..compiler import fuse_edge_softmax, parse_dsl, schedule_program
+    from ..compiler.fuse import fuse_compact_agg
     from ..compiler.lower import compile_program
     from ..compiler.passes import run_default
     from ..compiler.rewrites import (
@@ -87,6 +88,11 @@ def compile_rgat_layer(
     if fuse:
         fuse_edge_softmax(prog)
         run_default(prog)
+        if compact:
+            # sink the message expansion into the fused aggregation
+            # (single-sided compact, the hand-written models' form)
+            fuse_compact_agg(prog)
+            run_default(prog)
     return compile_program(schedule_program(prog)), prog
 
 
