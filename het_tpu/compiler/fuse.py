@@ -155,3 +155,95 @@ def fuse_compact_agg(prog: Program) -> int:
             rep.get(id(o), o) for o in prog.ops if id(o) not in remove
         ]
     return fused
+
+
+OP_DEFS.setdefault(
+    "FusedGatCompact", OpDef(("el", "er", "msg"), None)
+)
+
+
+def fuse_compact_gat(prog: Program) -> int:
+    """Fuse the fully-compact GAT motif into one op — the compiler-side
+    equivalent of the hand-written models' ``relational_fused_gat_compact``
+    (logits AND messages stay on compact rows; per-edge tensors never
+    materialize in either direction):
+
+        FusedEdgeSoftmaxAgg(
+            logits=LeakyRelu(ScalarAdd(Expand(el_c, src),
+                                       Expand(er_c, dst))),
+            msg=Expand(msg_c, src))
+        -> FusedGatCompact(el_c, er_c, msg_c)
+    """
+    producers = prog.producers()
+    uses = _use_counts(prog)
+
+    def sole_expand(v: Var, side: str):
+        p = producers.get((v.kind, v.name))
+        if (
+            p is not None
+            and p.kind == "ExpandCompact"
+            and p.attrs.get("side", "src") == side
+            and uses.get((v.kind, v.name), 0) == 1
+        ):
+            return p
+        return None
+
+    fused = 0
+    remove: set = set()
+    replacements: List[Tuple[Op, Op]] = []
+    for op in prog.ops:
+        if op.kind != "FusedEdgeSoftmaxAgg":
+            continue
+        mexp = sole_expand(op.inputs["msg"], "src")
+        if mexp is None:
+            continue
+        lr = producers.get(
+            (op.inputs["logits"].kind, op.inputs["logits"].name)
+        )
+        if (
+            lr is None or lr.kind != "LeakyRelu"
+            or uses.get((op.inputs["logits"].kind,
+                         op.inputs["logits"].name), 0) > 1
+        ):
+            continue
+        add = producers.get(
+            (lr.inputs["input"].kind, lr.inputs["input"].name)
+        )
+        if (
+            add is None or add.kind != "ScalarAdd"
+            or uses.get((lr.inputs["input"].kind,
+                         lr.inputs["input"].name), 0) > 1
+        ):
+            continue
+        lexp = sole_expand(add.inputs["left"], "src")
+        rexp = sole_expand(add.inputs["right"], "dst")
+        if lexp is None and rexp is None:
+            # also accept swapped operand order
+            lexp = sole_expand(add.inputs["right"], "src")
+            rexp = sole_expand(add.inputs["left"], "dst")
+        if lexp is None or rexp is None:
+            continue
+        replacements.append(
+            (
+                op,
+                Op(
+                    "FusedGatCompact",
+                    {
+                        "el": lexp.inputs["input"],
+                        "er": rexp.inputs["input"],
+                        "msg": mexp.inputs["input"],
+                    },
+                    op.outputs,
+                    {"slope": lr.attrs.get("slope", 0.2)},
+                ),
+            )
+        )
+        for dead in (mexp, lr, add, lexp, rexp):
+            remove.add(id(dead))
+        fused += 1
+    if fused:
+        rep = {id(old): new for old, new in replacements}
+        prog.ops = [
+            rep.get(id(o), o) for o in prog.ops if id(o) not in remove
+        ]
+    return fused

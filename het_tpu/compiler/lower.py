@@ -205,6 +205,11 @@ def _exec_op(env: _Env, op: Op) -> None:
                 val, _ = env.lookup(v)
                 if v.is_weight and v.kind == "EDGETYPE":
                     return jnp.take(val, info.seg.row_seg, axis=0)
+                if v.kind in ("SRCNODE", "DSTNODE", "NODEWISE"):
+                    # node tensor -> one row per unique (rel, node)
+                    from ..ops.common import gather_nodes
+
+                    return gather_nodes(val, info.node_ids)
                 return val
 
             l = as_c(op.inputs["left"])
@@ -335,6 +340,17 @@ def _exec_op(env: _Env, op: Op) -> None:
             env.set(out, safe_div(num, s[..., None]))
             return
         env.set(out, ops.edge_softmax_weighted_sum(g, logits, msg))
+        return
+
+    if k == "FusedGatCompact":
+        el_c, _ = env.lookup(op.inputs["el"])
+        er_c, _ = env.lookup(op.inputs["er"])
+        msg_c, _ = env.lookup(op.inputs["msg"])
+        slope = float(op.attrs.get("slope", 0.2))
+        out_v = ops.relational_fused_gat_compact(
+            g, msg_c[:, None, :], el_c[:, None], er_c[:, None], slope
+        )
+        env.set(out, out_v[:, 0, :])
         return
 
     if k == "FusedEdgeSoftmaxAggCompact":

@@ -152,6 +152,42 @@ def compact_materialization(prog: Program) -> int:
         if op.kind == "EdgeInnerProduct":
             l, r = op.inputs["left"], op.inputs["right"]
             lc, rc = compact_operand(l), compact_operand(r)
+            # direct node x edge-typed-weight SDDMM: computable once per
+            # unique (rel, node) (e.g. the reordered er = <x[dst],
+            # (W a_r)[rel]> — the hand-written multiply_first dst logit)
+            if lc is None and rc is None:
+                nv = wv = None
+                if (
+                    l.kind in ("SRCNODE", "DSTNODE")
+                    and r.is_weight and r.kind == "EDGETYPE"
+                ):
+                    nv, wv = l, r
+                elif (
+                    r.kind in ("SRCNODE", "DSTNODE")
+                    and l.is_weight and l.kind == "EDGETYPE"
+                ):
+                    nv, wv = r, l
+                if nv is not None:
+                    side = "src" if nv.kind == "SRCNODE" else "dst"
+                    out = op.result
+                    c_out = Var.data(
+                        "UNIQUE_NODE_ETYPE", f"{out.name}_compact"
+                    )
+                    out_ops.append(
+                        Op(
+                            "EdgeInnerProduct",
+                            {"left": nv, "right": wv},
+                            (c_out,),
+                            {"side": side, "compact": True},
+                        )
+                    )
+                    out_ops.append(
+                        Op("ExpandCompact", {"input": c_out}, (out,),
+                           {"side": side})
+                    )
+                    compacted[(out.kind, out.name)] = (c_out, side)
+                    n += 1
+                    continue
             if (lc is not None and r.is_weight and r.kind == "EDGETYPE") or (
                 rc is not None and l.is_weight and l.kind == "EDGETYPE"
             ):

@@ -89,8 +89,12 @@ def compile_rgat_layer(
         fuse_edge_softmax(prog)
         run_default(prog)
         if compact:
-            # sink the message expansion into the fused aggregation
-            # (single-sided compact, the hand-written models' form)
+            # full compact-GAT motif first (logits AND messages on
+            # compact rows — the hand-written models' exact form), then
+            # the message-only sink as fallback
+            from ..compiler.fuse import fuse_compact_gat
+
+            fuse_compact_gat(prog)
             fuse_compact_agg(prog)
             run_default(prog)
     return compile_program(schedule_program(prog)), prog
