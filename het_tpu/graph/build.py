@@ -38,6 +38,12 @@ def KERNEL_NB() -> int:
     return get_table().nb
 
 
+def _density_nb_enabled() -> bool:
+    import os
+
+    return os.environ.get("HET_DENSITY_NB", "1") not in ("0", "off")
+
+
 def build_tile_tables(
     ptr: np.ndarray, N: int, nb: int = None, chunk_edges: int = None
 ) -> TileTables:
@@ -55,9 +61,25 @@ def build_tile_tables(
     ground truth, isolated kernel timings are not."""
     from ..ops.pallas.seg_reduce import CHUNK_EDGES, TABLE_PAD
 
+    ptr = np.asarray(ptr)
     if nb is None:
         nb = KERNEL_NB()
-    ptr = np.asarray(ptr)
+        if _density_nb_enabled():
+            # density-matched node-tile width: sparse segmentations
+            # (compact edge_row_ptr / canon runs average ~2-3 edges per
+            # row at mag scale) make tiles tiny relative to payload
+            # blocks, so the per-(tile, block) work list re-DMAs each
+            # block once per covering tile (measured 185 MB moved for a
+            # 44 MB payload on the srcC reduce).  Wider tiles amortize
+            # that; affordable since round 5 because the split3/bf16
+            # payloads take ONE one-hot MXU pass (the round-4
+            # density-matched experiment lost e2e under the 3-pass f32
+            # kernel, whose MXU cost scales with nb).
+            density = float(ptr[min(N, len(ptr) - 1)]) / max(N, 1)
+            if density < 2.0:
+                nb = min(4 * nb, 512)
+            elif density < 4.0:
+                nb = min(2 * nb, 256)
     if chunk_edges is None:
         chunk_edges = CHUNK_EDGES
     # always keep >= 1 FULLY empty trailing tile (every row beyond N, so

@@ -68,7 +68,7 @@ def _interpret_default() -> bool:
 
 def _make_wl_kernel(
     W: int, nb: int, rows_pb: int, k: int, bf16_vals: bool,
-    interpret: bool = False,
+    interpret: bool = False, combine_lanes: int = 0,
 ):
     """Work-list segment-sum kernel body.
 
@@ -80,15 +80,23 @@ def _make_wl_kernel(
     flushes it to HBM only when the tile index changes, so each tile costs
     one HBM write.  All DMA (payload blocks, boundary tables, output
     flushes) is the automatic pipeline's, double-buffered across grid
-    steps."""
+    steps.
+
+    ``combine_lanes`` (round-5): when nonzero (= Cp) and k > 1, the k fold
+    blocks are combined IN-KERNEL at write-through — the output block is
+    (nb, Cp) instead of (nb, 128), cutting the kernel's HBM writes by k
+    (the round-4 device trace showed the fold-block outputs dominating the
+    reduce custom-calls: 73 MB written for 9 MB useful on the srcC
+    reduce).  The combine is a tiny 0/1 matmul (HIGHEST precision — exact
+    on the f32 accumulator) replacing the caller-side fold-combine dot."""
     # on TPU the MXU accumulates bf16 products in f32 natively; the
     # interpret-mode (CPU) dot accumulates in the operand dtype, so tests
     # force f32 operands there to keep the reduction exact
     op_dt = jnp.float32 if interpret else jnp.bfloat16
     Cp = W // k
 
-    def kernel(wt_ref, wb_ref, wf_ref, vals_ref, lo_ref, hi_ref, out_ref,
-               acc):
+    def kernel(wt_ref, wb_ref, wf_ref, wl_ref, vals_ref, lo_ref, hi_ref,
+               out_ref, acc):
         w = pl.program_id(0)
 
         @pl.when(wf_ref[w] == 1)
@@ -165,7 +173,32 @@ def _make_wl_kernel(
                     jnp.zeros_like(total),
                 )
         acc[...] = total
-        out_ref[...] = total.astype(out_ref.dtype)
+        if combine_lanes and k > 1:
+            # fold-combine + write ONLY on the tile's last work item (the
+            # matmul-epilogue pattern): a per-step combine dot measured
+            # +2.5 ms on the composed headline — tiny MXU ops serialized
+            # into every grid step.  Intermediate steps leave the output
+            # buffer untouched; Pallas flushes it when the tile index
+            # changes, by which point the last item has written it.
+            @pl.when(wl_ref[w] == 1)
+            def _():
+                Cpc = combine_lanes
+                # (128, Cp) 0/1 fold-combine matrix built in registers:
+                # M[l, c] = 1 iff l % Cp == c
+                li = jax.lax.broadcasted_iota(jnp.int32, (128, Cpc), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (128, Cpc), 1)
+                m = jnp.where(li % Cpc == ci, 1.0, 0.0).astype(
+                    jnp.float32
+                )
+                combined = jax.lax.dot_general(
+                    total, m,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                out_ref[...] = combined.astype(out_ref.dtype)
+        else:
+            out_ref[...] = total.astype(out_ref.dtype)
 
     return kernel
 
@@ -334,6 +367,7 @@ def _seg_sum_wl(
     interpret: bool = False,
     nb: int = NB,
     out_dtype=None,
+    combine_lanes: int = 0,
 ) -> Array:
     """Unified work-list segment sum: ``vals`` is (rows, W) holding
     ``rows * k`` edges (fold factor ``k``; k=1 means one edge per row),
@@ -365,7 +399,8 @@ def _seg_sum_wl(
             [vals, jnp.zeros((need_rows - rows, W), vals.dtype)], axis=0
         )
     if n_tiles == 0 or n_work == 0:
-        return jnp.zeros((max(N, 0), W), out_dtype or jnp.float32)
+        W0 = combine_lanes if (combine_lanes and k > 1) else W
+        return jnp.zeros((max(N, 0), W0), out_dtype or jnp.float32)
 
     bf16_vals = vals.dtype == jnp.bfloat16
     if out_dtype is None:
@@ -374,39 +409,51 @@ def _seg_sum_wl(
         # out_dtype=bf16 — numerically identical to casting the f32
         # result but half the HBM on the big (rows, W) buffer
         out_dtype = jnp.float32 if bf16_vals else vals.dtype
+    W_out = combine_lanes if (combine_lanes and k > 1) else W
+    # w_last flag (tile's final work item — where the fold-combine runs):
+    # derived from w_tile on device so TileTables needs no new field and
+    # persisted graphs stay loadable
+    wl = jnp.concatenate(
+        [
+            (wt[1:] != wt[:-1]).astype(jnp.int32),
+            jnp.ones((1,), jnp.int32),
+        ]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_work,),
         in_specs=[
             pl.BlockSpec(
-                (rows_pb, W), lambda w, wt, wb, wf: (wb[w], 0)
+                (rows_pb, W), lambda w, wt, wb, wf, wl: (wb[w], 0)
             ),
             pl.BlockSpec(
-                (1, 1, nb), lambda w, wt, wb, wf: (wt[w], 0, 0)
+                (1, 1, nb), lambda w, wt, wb, wf, wl: (wt[w], 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, nb), lambda w, wt, wb, wf: (wt[w], 0, 0)
+                (1, 1, nb), lambda w, wt, wb, wf, wl: (wt[w], 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (nb, W), lambda w, wt, wb, wf: (wt[w], 0)
+            (nb, W_out), lambda w, wt, wb, wf, wl: (wt[w], 0)
         ),
         scratch_shapes=[pltpu.VMEM((nb, W), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_wl_kernel(W, nb, rows_pb, k, bf16_vals, interpret),
+        _make_wl_kernel(W, nb, rows_pb, k, bf16_vals, interpret,
+                        combine_lanes=W_out if W_out != W else 0),
         grid_spec=grid_spec,
-        out_shape=out_struct((n_tiles * nb, W), out_dtype, vals),
+        out_shape=out_struct((n_tiles * nb, W_out), out_dtype, vals),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * n_edges_cap * nb * (W // k))
             * (1 if bf16_vals else 3),
             bytes_accessed=int(
-                rows * W * vals.dtype.itemsize + n_tiles * nb * W * 4
+                rows * W * vals.dtype.itemsize
+                + n_tiles * nb * W_out * 4
             ),
             transcendentals=0,
         ),
-    )(wt, wb, wf, vals, lower, upper)
+    )(wt, wb, wf, wl, vals, lower, upper)
     return out
 
 
@@ -526,26 +573,25 @@ def seg_sum_sorted_folded_pallas_raw(
     assert vals_folded.shape[1] == 128
     if out_dtype is None:
         out_dtype = jnp.float32
+    # combine the k disjoint lane blocks in ONE caller-side one-hot MXU
+    # dot.  Round-5 negative result: combining IN-KERNEL (combine_lanes,
+    # kept for narrow-HBM experiments) measured SLOWER end-to-end
+    # (bf16 headline 6.6 -> 8.8 ms even with the dot gated to each tile's
+    # last work item) — TPU HBM arrays are (8, 128)-tile padded, so a
+    # (T*nb, Cp) output moves the same HBM bytes as (T*nb, 128) but with
+    # partial-tile writes; the external dot's extra pass is cheaper.
+    # (The dot itself replaced a chained slice-add loop — k-1 separately
+    # materialized fusion outputs, 7 x 1.48 GB at full-mag scale — and a
+    # reshape-sum whose col-major bitcast cost a physical copy per call.)
     out = _seg_sum_wl(
         vals_folded, k, row_ptr, N,
         tables=tables, interpret=interpret, nb=nb, out_dtype=out_dtype,
     )
     out = out[:N]
-    # combine the k disjoint lane blocks in ONE pass.  A chained slice-add
-    # loop here compiled to k-1 separately-materialized fusion outputs
-    # (7 x 1.48 GB allocations at full-mag scale — the difference between
-    # fitting and OOM on one chip), and a reshape(N,k,Cp).sum(axis=1)
-    # makes XLA bitcast the kernel output to a column-major (N,k,Cp) view,
-    # paying a physical (N,128) layout copy per reduce call (8 x 37.7 MB
-    # in the GAT step HLO).  A one-hot MXU dot is layout-neutral and the
-    # FLOPs are negligible (N*128*Cp*2).
     if k == 1:
         return out
     # f32 outputs must combine exactly: default matmul precision rounds
-    # operands to bf16 on TPU, which would silently lose the f32 accuracy
-    # the kernel's bf16x3 split preserves.  The flops are negligible
-    # (N*128*Cp*2), so HIGHEST costs nothing; bf16 outputs keep DEFAULT
-    # (their rounding already happened at the kernel boundary).
+    # operands to bf16 on TPU; HIGHEST costs nothing at node scale.
     prec = (
         jax.lax.Precision.HIGHEST
         if out.dtype == jnp.float32
@@ -576,6 +622,33 @@ def fold_width(c: int) -> int:
     return -(-c // 128) * 128
 
 
+def _use_split3(C: int, pack_dt, perm) -> bool:
+    """Should an f32 payload ride as exact bf16 hi|mid|lo lane groups?
+
+    The split (24 significand bits across three bf16 lane groups — the
+    same decomposition the kernel used internally for f32 DMA'd payloads)
+    moves the component split from in-kernel to the producer pass, which
+    buys two things measured on-chip (round 5, scripts/r5_experiments.py):
+
+    * the edge-space PERMUTE runs at bf16-gather speed: 0.3-0.8 ms vs
+      1.8-6.0 ms for narrow f32 gathers (XLA lays narrow f32 sources out
+      col-major; bf16 sources stage on-chip);
+    * the one-hot reduce needs ONE MXU pass instead of three (components
+      ride in lanes, each exactly accumulated in f32 by the MXU).
+
+    DMA bytes are unchanged whenever the fold pad absorbs the 3x lane
+    count (C=20 headline: Cp 32xf32 = 64xbf16 = 128 B/edge).  Applied when
+    the split costs no extra kernel DMA, or when a permute is present and
+    the payload still folds (k >= 2) — there the permute saving dominates
+    the at-most-2x kernel DMA."""
+    if jnp.dtype(pack_dt) != jnp.float32:
+        return False
+    w3 = fold_width(3 * C)
+    if w3 > 64:
+        return False  # would unfold: wide payloads keep f32 rows
+    return 2 * w3 <= 4 * fold_width(C) or perm is not None
+
+
 def seg_sum_sorted_packed(
     parts,
     C: int,
@@ -599,14 +672,29 @@ def seg_sum_sorted_packed(
     so callers must never pre-pad."""
     from ..common import take_rows
 
+    split3 = _use_split3(C, pack_dt, perm)
+    if split3:
+        # exact f32 -> bf16 hi|mid|lo significand split at the producer
+        # (fuses into the payload pass); lane layout [hi(C)|mid(C)|lo(C)]
+        # so the post-reduce combine is three aligned slices
+        his, mids, los = [], [], []
+        for p in parts:
+            v = p.astype(jnp.float32)
+            h = v.astype(jnp.bfloat16)
+            r1 = v - h.astype(jnp.float32)
+            m = r1.astype(jnp.bfloat16)
+            l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            his.append(h)
+            mids.append(m)
+            los.append(l)
+        parts = his + mids + los
+        C_in, C = C, 3 * C
+        pack_dt = jnp.bfloat16
+        req_out = out_dtype
+        out_dtype = None  # component sums stay f32; cast after combine
+
     Cp = fold_width(C)
     k = 128 // Cp if Cp <= 128 else 1
-    # note (round-4 device traces): the permuted 16-lane payload gather
-    # runs col-major at 20 GB/s while 128-lane permutes run row-major at
-    # 261 GB/s — but padding permuted payloads to full 128-lane rows was
-    # a WASH end-to-end (the extra pack pass + the k=1 kernel's larger
-    # DMA ate exactly what the faster permute saved: 2275+1104 us ->
-    # 1364+774+1257 us on the headline step), so the folded form stays
     pad = (Cp if k > 1 else -(-C // 128) * 128) - C
     ps = [p.astype(pack_dt) for p in parts]
     if pad:
@@ -615,27 +703,36 @@ def seg_sum_sorted_packed(
         ps.append(jnp.zeros((ps[0].shape[0], pad), pack_dt))
     packed = ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
     if perm is not None:
-        # the permute gather runs col-major at ~20 GB/s (device trace:
-        # 2.28 ms of the 11.75 ms headline step).  Round-4 attempts to
-        # coerce it row-major — a pallas identity forcing the operand
-        # layout, and routing the gather through a pad op to mimic the
-        # 99 GB/s pad-rooted gather_dst in the same program — were both
-        # re-flipped by XLA's layout assignment (it copies the custom-call
-        # output back to col-major before the gather) and only added their
-        # own copy cost.  Documented negative result; the durable fix is a
-        # layout API for gather operands or an in-kernel gather.
+        # history: the f32 narrow permute gather ran col-major at
+        # ~20 GB/s (2.28 ms of the round-4 headline step) and resisted
+        # every layout-coercion attempt (pallas identity, pad-rooted
+        # gather) — XLA re-flipped the operand col-major each time.  The
+        # bf16 split3 payload sidesteps it: bf16 narrow sources gather at
+        # 80-183 GB/s (measured round 5).
         packed = take_rows(packed, perm)
     if k == 1:
         out = seg_sum_sorted_pallas_raw(
             packed, row_ptr, n_rows, EP - E, tables=tables,
             out_dtype=out_dtype,
         )
-        return out if out_dtype is not None else out.astype(jnp.float32)
-    packed = packed.reshape(EP // k, 128)
-    return seg_sum_sorted_folded_pallas_raw(
-        packed, k, row_ptr, n_rows, EP // k - (E + k - 1) // k,
-        tables=tables, out_dtype=out_dtype,
-    )
+        if out_dtype is None:
+            out = out.astype(jnp.float32)
+    else:
+        packed = packed.reshape(EP // k, 128)
+        out = seg_sum_sorted_folded_pallas_raw(
+            packed, k, row_ptr, n_rows, EP // k - (E + k - 1) // k,
+            tables=tables, out_dtype=out_dtype,
+        )
+    if split3:
+        # combine the exact component sums in node space (tiny)
+        out = (
+            out[:, :C_in]
+            + out[:, C_in : 2 * C_in]
+            + out[:, 2 * C_in : 3 * C_in]
+        )
+        if req_out is not None:
+            out = out.astype(req_out)
+    return out
 
 
 @jax.custom_vjp

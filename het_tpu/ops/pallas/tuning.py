@@ -79,19 +79,38 @@ TABLES = {
 
 @lru_cache(maxsize=1)
 def get_table() -> TuneTable:
-    """Tuning row for the current default device (cached per process)."""
+    """Tuning row for the current default device (cached per process).
+
+    ``HET_TUNE_<FIELD>=value`` env vars override single fields (e.g.
+    ``HET_TUNE_NB=256 HET_TUNE_CHUNK_EDGES=2048``) — the e2e geometry
+    A/B hook (isolated kernel sweeps invert conclusions; the composed
+    step is ground truth, ROUND4_NOTES.md)."""
+    import os
+
     import jax
+
+    def _override(row: TuneTable) -> TuneTable:
+        import dataclasses
+
+        changes = {}
+        for f in dataclasses.fields(TuneTable):
+            v = os.environ.get(f"HET_TUNE_{f.name.upper()}")
+            if v is not None:
+                changes[f.name] = type(getattr(row, f.name))(
+                    float(v) if f.type == "float" else int(v)
+                )
+        return dataclasses.replace(row, **changes) if changes else row
 
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
-        return _V5E
+        return _override(_V5E)
     # exact match first, then longest prefix ("TPU v5" must not shadow
     # "TPU v5 lite")
     if kind in TABLES:
-        return TABLES[kind]
+        return _override(TABLES[kind])
     best = None
     for key, row in TABLES.items():
         if kind.startswith(key) and (best is None or len(key) > best[0]):
             best = (len(key), row)
-    return best[1] if best else _V5E
+    return _override(best[1] if best else _V5E)
