@@ -73,23 +73,70 @@ def take_rows(x: Array, idx: Array) -> Array:
     return out.reshape((idx.shape[0],) + x.shape[1:])
 
 
-def gather_nodes(x: Array, idx: Array) -> Array:
+def _narrow_pad_lanes(x: Array):
+    """Lane count a row-gather source should be padded to, or 0 if wide
+    enough.  XLA scalarizes gathers whose rows are under ~32 BYTES into
+    per-element reads (round-4: a 1-lane f32 gather at 2 GB/s; round-5: a
+    bf16 8-lane gather at 6 GB/s — 801 us on the canon-to-row gather), so
+    the threshold is bytes, not lanes."""
+    if x.ndim != 2:
+        return 0
+    # 32 lanes: measured round 5, rows need 64 BYTES for full-rate row
+    # gathers (142k-row isolation: bf16 w=16 1.28 ms, bf16 w=32 0.19,
+    # f32 w=16 0.13), and consumers that downcast make XLA hoist the
+    # convert into the gather source (optimization_barrier lowers to a
+    # plain copy on TPU and converts commute through copies), halving
+    # the row bytes post-pad — so the pad anticipates a 2-byte dtype.
+    # Row gathers are row-dispatch-bound, so extra lanes cost nothing.
+    return 32 if x.shape[1] < 32 else 0
+
+
+def take_rows_padded(x: Array, idx: Array) -> Array:
+    """``take_rows`` with narrow sources lane-padded to a >=32-byte row.
+
+    The padded source is pinned with ``optimization_barrier``: without it
+    XLA's algebraic simplifier cancels the pad against the output slice
+    (slice(gather(pad(x))) -> gather(x)) and hoists narrowing converts
+    above the gather, recreating exactly the scalarized sub-32-byte row
+    gather this helper exists to avoid (round-5 trace: the d_er
+    canon-to-row gather stayed at 6 GB/s / 801 us until pinned).  The
+    barrier materializes only the source-scale padded copy."""
+    pad_c = _narrow_pad_lanes(x)
+    if not pad_c:
+        return take_rows(x, idx)
+    c = x.shape[1]
+    src = jax.lax.optimization_barrier(
+        jnp.pad(x, ((0, 0), (0, pad_c - c)))
+    )
+    return take_rows(src, idx)[:, :c]
+
+
+def gather_nodes(x: Array, idx: Array, *, pin_output: bool = False) -> Array:
     """``x[idx]`` where ``idx`` may contain the sentinel ``x.shape[0]``
     (returns zeros there).
 
-    Rows narrower than 8 lanes are column-padded before the gather: XLA
-    scalarizes 1-2-lane row gathers into per-element reads (round-4
-    device trace: a (N,) -> (EP,) gather ran 2.6 ms at 2 GB/s in the GAT
-    step); the pad is node-scale and the slice fuses away."""
+    Narrow rows are column-padded before the gather (see
+    ``_narrow_pad_lanes``); the pad is node-scale and the slice fuses
+    away.  ``pin_output``: barrier the (still wide, still f32) gather
+    output before slicing — for gathers whose consumers downcast to
+    bf16, where XLA otherwise hoists the convert into the gather source
+    and bf16 row gathers run ~4x slower per row than f32 ones (round-5
+    trace: the d_er canon-to-row gather at 801 us vs ~190 expected)."""
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
-    narrow = x.ndim == 2 and x.shape[1] < 8
-    if narrow:
+    pad_c = _narrow_pad_lanes(x)
+    if pad_c:
         c = x.shape[1]
-        x = jnp.pad(x, ((0, 0), (0, 8 - c)))
-    out = take_rows(pad_zero_row(x), idx)
-    if narrow:
+        x = jnp.pad(x, ((0, 0), (0, pad_c - c)))
+    src = pad_zero_row(x)
+    if pad_c:
+        # pin the pad against simplifier cancellation (take_rows_padded)
+        src = jax.lax.optimization_barrier(src)
+    out = take_rows(src, idx)
+    if pin_output:
+        out = jax.lax.optimization_barrier(out)
+    if pad_c:
         out = out[:, :c]
     return out[:, 0] if squeeze else out
 

@@ -55,7 +55,8 @@ import jax
 import jax.numpy as jnp
 
 from ...graph.structures import HeteroGraph
-from ..common import gather_dst, gather_nodes, safe_div, take_rows
+from ..common import (gather_dst, gather_nodes, safe_div, take_rows,
+                      take_rows_padded)
 from .seg_reduce import fold_width as _fold_width
 
 Array = jax.Array
@@ -277,7 +278,7 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
         arbitrary (canonical or permuted) edge-index vectors.  One random
         gather (el|feat concatenated) + one peer gather."""
         ge = take_rows(el_feat_c, idx_self).astype(jnp.float32)
-        er_e = take_rows(er_c, idx_peer).astype(jnp.float32)
+        er_e = take_rows_padded(er_c, idx_peer).astype(jnp.float32)
         raw = ge[:, :H] + er_e
         z = jnp.exp(_act_apply(raw, act, slope, clip))
         actd = _act_deriv(raw, act, slope, clip)
@@ -356,7 +357,9 @@ def _make_compact_fused_op(act: str, slope: float, clip: Optional[float]):
             [draw, dfeat_full], H + HD, pack_dt, infoD.canon_ptr, n_runs,
             EP, E, infoD.canon_tables, out_dt=pack_dt,
         )
-        d_er_c = gather_nodes(redD[:, :H], infoD.canon_to_row)
+        d_er_c = gather_nodes(
+            redD[:, :H], infoD.canon_to_row, pin_output=True
+        )
 
         if COMPACT_BWD == "perm_direct" and infoS.perm_self_map is not None:
             # source side: RE-derive the payload directly in
@@ -497,7 +500,7 @@ def _make_compact_fused_packed_op(
         pack_dt = _pack_dt(fe2d)
         ge = take_rows(fe2d, infoS.edge_map).astype(jnp.float32)
         ge3 = ge.reshape(EP, H, D1)
-        er_e = take_rows(er_c, infoD.edge_map).astype(jnp.float32)
+        er_e = take_rows_padded(er_c, infoD.edge_map).astype(jnp.float32)
         raw = ge3[..., 0] + er_e
         z = jnp.exp(_act_apply(raw, act, slope, clip))
         zf = (z[..., None] * ge3[..., 1:]).reshape(EP, HD)
@@ -527,7 +530,7 @@ def _make_compact_fused_packed_op(
         pack_dt = _pack_dt(fe2d)
         ge = take_rows(fe2d, infoS.edge_map).astype(jnp.float32)
         ge3 = ge.reshape(EP, H, D1)
-        er_e = take_rows(er_c, infoD.edge_map).astype(jnp.float32)
+        er_e = take_rows_padded(er_c, infoD.edge_map).astype(jnp.float32)
         raw = ge3[..., 0] + er_e
         z = jnp.exp(_act_apply(raw, act, slope, clip))
         actd = _act_deriv(raw, act, slope, clip)
@@ -559,7 +562,7 @@ def _make_compact_fused_packed_op(
             infoD.canon_tables, out_dt=pack_dt,
         )
         d_er_c = gather_nodes(
-            redD[:, : H * D1 : D1], infoD.canon_to_row
+            redD[:, : H * D1 : D1], infoD.canon_to_row, pin_output=True
         )
         return d_fe, d_er_c.astype(er_c.dtype), None
 

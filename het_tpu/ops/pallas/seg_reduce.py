@@ -537,6 +537,16 @@ FOLD_CHUNK = 128  # folded rows per DMA chunk (legacy signature default)
 
 
 @functools.lru_cache(maxsize=None)
+def _placement_matrix(c: int, offsets: tuple, width: int):
+    """(c, width) 0/1 matrix placing a c-lane part at each lane offset in
+    ``offsets`` (numpy; cached)."""
+    m = np.zeros((c, width), np.float32)
+    for off in offsets:
+        m[:, off : off + c] = np.eye(c, dtype=np.float32)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
 def _fold_combine_matrix(k: int, Cp: int):
     """(128, Cp) one-hot fold-combine matrix: M[j*Cp + c, c] = 1 for all
     j < k (numpy so cached values never leak tracers across jit scopes)."""
@@ -637,16 +647,20 @@ def _use_split3(C: int, pack_dt, perm) -> bool:
       ride in lanes, each exactly accumulated in f32 by the MXU).
 
     DMA bytes are unchanged whenever the fold pad absorbs the 3x lane
-    count (C=20 headline: Cp 32xf32 = 64xbf16 = 128 B/edge).  Applied when
-    the split costs no extra kernel DMA, or when a permute is present and
-    the payload still folds (k >= 2) — there the permute saving dominates
-    the at-most-2x kernel DMA."""
+    count (C=20: Cp 32xf32 = 64xbf16 = 128 B/edge) and at most 2x
+    otherwise (C=12/16).  2x is accepted: the bf16 one-pass kernel
+    measured 298 GB/s vs ~120 for the f32 three-pass kernel on the same
+    segmentation (round-5 device trace), the f32 payload's col-major
+    pack chain (copy + physical fold reshape, ~0.5 ms per payload at mag
+    sample scale) disappears, and a payload shared between a permuted
+    and an unpermuted reduce (the [draw | dfeat] backward pair) stays ONE
+    CSE'd materialization instead of splitting into bf16 and f32 twins."""
     if jnp.dtype(pack_dt) != jnp.float32:
         return False
     w3 = fold_width(3 * C)
     if w3 > 64:
         return False  # would unfold: wide payloads keep f32 rows
-    return 2 * w3 <= 4 * fold_width(C) or perm is not None
+    return 2 * w3 <= 8 * fold_width(C) or perm is not None
 
 
 def seg_sum_sorted_packed(
@@ -674,34 +688,61 @@ def seg_sum_sorted_packed(
 
     split3 = _use_split3(C, pack_dt, perm)
     if split3:
-        # exact f32 -> bf16 hi|mid|lo significand split at the producer
-        # (fuses into the payload pass); lane layout [hi(C)|mid(C)|lo(C)]
-        # so the post-reduce combine is three aligned slices
-        his, mids, los = [], [], []
+        # exact f32 -> bf16 hi|mid|lo significand split, lane layout
+        # [hi(C)|mid(C)|lo(C)] so the post-reduce combine is three
+        # aligned slices.  The pack is built with one-hot PLACEMENT DOTS
+        # + a lane-group select rather than jnp.concatenate: XLA lays
+        # narrow per-edge part arrays out col-major, so a lane concat of
+        # them materializes each part PLUS a row-major copy per part
+        # (round-5 device trace: 6 copies at 38-77 GB/s + an 821 us
+        # concat).  A dot is layout-neutral and its elementwise consumer
+        # chain (the split + select below) fuses into it, writing the
+        # bf16 payload in ONE pass.  HIGHEST keeps the f32 values exact
+        # through the 0/1 matmul; the FLOPs are trivial.
+        C_in = C
+        W3 = fold_width(3 * C)
+        rows = parts[0].shape[0]
+        rep = None
+        off = 0
         for p in parts:
-            v = p.astype(jnp.float32)
-            h = v.astype(jnp.bfloat16)
-            r1 = v - h.astype(jnp.float32)
-            m = r1.astype(jnp.bfloat16)
-            l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
-            his.append(h)
-            mids.append(m)
-            los.append(l)
-        parts = his + mids + los
-        C_in, C = C, 3 * C
+            c = p.shape[1]
+            P = jnp.asarray(_placement_matrix(
+                c, (off, C + off, 2 * C + off), W3
+            ))
+            d = jax.lax.dot(
+                p.astype(jnp.float32), P,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rep = d if rep is None else rep + d
+            off += c
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W3), 1)
+        g0 = rep.astype(jnp.bfloat16)
+        r1 = rep - g0.astype(jnp.float32)
+        g1 = r1.astype(jnp.bfloat16)
+        g2 = (r1 - g1.astype(jnp.float32)).astype(jnp.bfloat16)
+        grp = lane // C
+        packed = jnp.where(
+            lane < 3 * C,
+            jnp.where(grp == 0, g0, jnp.where(grp == 1, g1, g2)),
+            jnp.zeros_like(g0),
+        )
+        C = 3 * C
         pack_dt = jnp.bfloat16
         req_out = out_dtype
         out_dtype = None  # component sums stay f32; cast after combine
-
-    Cp = fold_width(C)
-    k = 128 // Cp if Cp <= 128 else 1
-    pad = (Cp if k > 1 else -(-C // 128) * 128) - C
-    ps = [p.astype(pack_dt) for p in parts]
-    if pad:
-        # parts may live in a row space LARGER than EP (e.g. padded
-        # segment rows) when ``perm`` (length EP) selects out of it
-        ps.append(jnp.zeros((ps[0].shape[0], pad), pack_dt))
-    packed = ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
+        Cp = W3
+        k = 128 // Cp if Cp <= 128 else 1
+    else:
+        Cp = fold_width(C)
+        k = 128 // Cp if Cp <= 128 else 1
+        pad = (Cp if k > 1 else -(-C // 128) * 128) - C
+        ps = [p.astype(pack_dt) for p in parts]
+        if pad:
+            # parts may live in a row space LARGER than EP (e.g. padded
+            # segment rows) when ``perm`` (length EP) selects out of it
+            ps.append(jnp.zeros((ps[0].shape[0], pad), pack_dt))
+        packed = ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
     if perm is not None:
         # history: the f32 narrow permute gather ran col-major at
         # ~20 GB/s (2.28 ms of the round-4 headline step) and resisted
