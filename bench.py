@@ -129,8 +129,16 @@ def main() -> int:
         "pallas_bf16_opt", lambda: timed("pallas", bf16=True, **flags)
     )
 
-    candidates = [t for t in (t_pallas_plain, t_opt, t_bf16, t_xla_opt,
-                              t_xla_bf16, t_xla_plain) if t is not None]
+    # headline time comes from the PALLAS variants; XLA variants are the
+    # baseline and only stand in (with an explicit marker) when every
+    # pallas variant failed — otherwise a transient pallas failure would
+    # silently report an XLA time as the headline (ADVICE r4)
+    pallas_ts = [t for t in (t_pallas_plain, t_opt, t_bf16)
+                 if t is not None]
+    xla_ts = [t for t in (t_xla_opt, t_xla_bf16, t_xla_plain)
+              if t is not None]
+    headline_from_xla_fallback = not pallas_ts and bool(xla_ts)
+    candidates = pallas_ts or xla_ts
     if not candidates:
         sys.stderr.write("[bench] every variant failed\n")
         print(json.dumps({
@@ -192,6 +200,7 @@ def main() -> int:
                     },
                     "synthetic_data": data.meta.get("synthetic", False),
                     "failed_variants": failed_variants,
+                    "headline_from_xla_fallback": headline_from_xla_fallback,
                 },
             }
         )

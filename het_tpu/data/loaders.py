@@ -195,6 +195,54 @@ def load_dataset(
                     compact_union=compact_union,
                 )
                 if g is not None:
+                    # real label/split shards dropped beside the COO
+                    # shards (labels.npy + train_idx.npy/test_idx.npy
+                    # [+ features.npy]) make this a REAL-parity dataset
+                    # — the reference evaluates real train/val/test
+                    # accuracy (hrt/python/RGCN/RGCN.py:554-619); with
+                    # no DGL/OGB in the env, real parity becomes a
+                    # data-drop instead of a code change (VERDICT r4).
+                    labels_f = os.path.join(cand, "labels.npy")
+                    if os.path.exists(labels_f):
+                        labels = np.load(labels_f).astype(np.int64)
+                        assert labels.shape[0] == g.num_nodes, (
+                            f"labels.npy has {labels.shape[0]} rows for "
+                            f"{g.num_nodes} nodes"
+                        )
+                        ncls = int(labels.max()) + 1
+                        tr_f = os.path.join(cand, "train_idx.npy")
+                        te_f = os.path.join(cand, "test_idx.npy")
+                        if os.path.exists(tr_f):
+                            train_idx = np.load(tr_f).astype(np.int64)
+                            test_idx = (
+                                np.load(te_f).astype(np.int64)
+                                if os.path.exists(te_f)
+                                else np.setdiff1d(
+                                    np.arange(g.num_nodes), train_idx
+                                )
+                            )
+                        else:
+                            rng = np.random.default_rng(seed)
+                            idx = rng.permutation(g.num_nodes)
+                            split = int(0.8 * g.num_nodes)
+                            train_idx, test_idx = idx[:split], idx[split:]
+                        feat_f = os.path.join(cand, "features.npy")
+                        features = (
+                            np.load(feat_f)
+                            if os.path.exists(feat_f)
+                            else None
+                        )
+                        return Dataset(
+                            name=name,
+                            graph=g,
+                            features=features,
+                            labels=labels,
+                            train_idx=train_idx,
+                            test_idx=test_idx,
+                            num_classes=ncls,
+                            meta={"synthetic": False, "path": cand,
+                                  "synthetic_labels": False},
+                        )
                     labels = _planted_labels(g, num_classes, seed)
                     rng = np.random.default_rng(seed)
                     idx = rng.permutation(g.num_nodes)

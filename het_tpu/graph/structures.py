@@ -341,6 +341,15 @@ class HeteroGraph:
         info = self.compact_src if side == "src" else self.compact_dst
         if info is None:
             return None
+        if self.compact_shared and info.edge_map is not None:
+            # union-list graphs share ONE (rel, node in srcs-union-dsts)
+            # row space between both views, so seg.n_src counts the
+            # union and understates per-side duplication; count the
+            # side's actually-referenced rows instead (ADVICE r4)
+            import numpy as np_
+
+            em = np_.asarray(info.edge_map)[: self.num_edges]
+            return self.num_edges / max(len(np_.unique(em)), 1)
         return self.num_edges / max(info.seg.n_src, 1)
 
     def describe(self) -> str:

@@ -679,6 +679,11 @@ def gat_layer_core(
         and stable in (False, "raw", "clip")
         and F <= H * D
         and g.src_space == g.num_nodes
+        # the fused op's backward assumes x2d rows == num_nodes (its
+        # d_er pad is S - N rows on top of a src_space-row d_el reduce);
+        # a caller passing extra rows must take the composed path
+        # (ADVICE r4)
+        and x2d.shape[0] == g.num_nodes
     ):
         from .pallas.fused_agg import gat_layer_fused
 

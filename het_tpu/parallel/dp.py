@@ -184,8 +184,18 @@ class DPGNN:
 
         def emu_exchange(h_glob):
             """Exact single-device emulation of halo_exchange for shard 0
-            given the full padded-global feature array."""
+            given the full padded-global feature array.
+
+            Assumes the partitioner's block relabeling: shard p's local
+            node i sits at padded-global row ``p * nodes_per_part + i``
+            (partition.relabel).  Asserted so a future relabeling change
+            (e.g. degree sort) breaks loudly here instead of silently
+            desyncing init from the real halo_exchange (ADVICE r4)."""
             per = g_local.num_nodes
+            assert h_glob.shape[0] == n_parts * per, (
+                "emu_exchange expects block relabeling "
+                f"(rows={h_glob.shape[0]}, parts x nodes={n_parts}x{per})"
+            )
             own = jnp.take(h_glob, g_local.halo_self_idx, axis=0)
             blocks = [
                 jnp.take(

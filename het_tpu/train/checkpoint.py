@@ -39,6 +39,18 @@ def save_checkpoint(path: str, state: Dict[str, Any], step: int) -> str:
         return f
 
 
+def latest_step(path: str) -> Optional[int]:
+    """Largest step number checkpointed under ``path`` (None if none)."""
+    if not os.path.isdir(path):
+        return None
+    steps = [
+        int(e.split("_")[1].split(".")[0])
+        for e in os.listdir(path)
+        if e.startswith("step_")
+    ]
+    return max(steps) if steps else None
+
+
 def restore_checkpoint(
     path: str, like: Dict[str, Any], step: Optional[int] = None
 ):

@@ -60,6 +60,14 @@ class TrainConfig:
     # RGAT layer core runs as a compiled Inter-Op DSL program (parse ->
     # passes -> flag rewrites -> fuse -> Op-Spec schedule -> lowering)
     use_compiler: bool = False
+    # checkpoint/resume (reference has none — SURVEY §5 aux subsystem):
+    # save_every > 0 writes {params, opt state, loss-scale state, dropout
+    # key} to checkpoint_dir every N epochs (train/checkpoint.py: orbax,
+    # npz fallback); --resume restarts from the latest step and
+    # reproduces the uninterrupted run exactly (test_resume_parity)
+    save_every: int = 0
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False
     # minibatch mode (reference --full_graph_training False path)
     batch_size: int = 1024
     fanout: int = 10
@@ -112,6 +120,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--patience", type=int, default=0)
     p.add_argument("--use_compiler", action="store_true",
                    help="run the model through the compiled DSL pipeline")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="checkpoint every N epochs (0 = off)")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in "
+                        "--checkpoint_dir")
     p.add_argument("--minibatch", action="store_false",
                    dest="full_graph_training",
                    help="neighbor-sampled minibatch training")

@@ -242,9 +242,35 @@ def train(
 
     from ..utils.timing import force
 
+    # checkpoint/resume: the saved state carries the dropout key so a
+    # resumed run replays the exact epoch-key sequence of the
+    # uninterrupted one (tests/test_train.py::test_resume_parity)
+    start_epoch = 0
+    if cfg.resume:
+        from .checkpoint import latest_step, restore_checkpoint
+
+        step0 = latest_step(cfg.checkpoint_dir)
+        assert step0 is not None, (
+            f"--resume: no checkpoints under {cfg.checkpoint_dir}"
+        )
+        like = {
+            "params": params,
+            "opt_state": opt_state,
+            "scale_state": scale_state,
+            "k_drop": k_drop,
+        }
+        restored = restore_checkpoint(cfg.checkpoint_dir, like, step=step0)
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+        scale_state = jax.tree.map(jnp.asarray, restored["scale_state"])
+        k_drop = jnp.asarray(restored["k_drop"])
+        start_epoch = step0
+
     # warm-up (reference: 5 epochs with memory capture, RGNNUtils.py:228-266)
     # (also compiles both jitted paths so timed epochs are compile-free)
-    warmup = 0 if cfg.no_warm_up else cfg.warmup_epochs
+    # — skipped on resume: warm-up epochs TRAIN, so running them again
+    # would diverge from the uninterrupted run
+    warmup = 0 if (cfg.no_warm_up or cfg.resume) else cfg.warmup_epochs
     force(fwd_jit(g, params, k_drop))
     for i in range(warmup):
         k_drop, k = jax.random.split(k_drop)
@@ -272,11 +298,24 @@ def train(
     sync_every = 1 if stopper is not None else min(
         8, max(1, cfg.num_epochs)
     )
+    def _save(epoch_done: int) -> None:
+        from .checkpoint import save_checkpoint
+
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "scale_state": scale_state,
+            "k_drop": k_drop,
+        }
+        save_checkpoint(
+            cfg.checkpoint_dir, jax.device_get(state), step=epoch_done
+        )
+
     fwd_times, bwd_times, total_times, losses = [], [], [], []
     dev_losses = []
     block_t0 = time.perf_counter()
     block_n = 0
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         k_drop, k2 = jax.random.split(k_drop)
         params, opt_state, scale_state, loss = train_step(
             g, params, opt_state, scale_state, k2
@@ -289,10 +328,14 @@ def train(
             total_times.extend([per_epoch] * block_n)
             block_t0 = time.perf_counter()
             block_n = 0
+        if cfg.save_every > 0 and (epoch + 1) % cfg.save_every == 0:
+            _save(epoch + 1)
         if stopper is not None and stopper.update(
             float(dev_losses[-1]), epoch
         ):
             break
+    if cfg.save_every > 0 and cfg.num_epochs % cfg.save_every != 0:
+        _save(cfg.num_epochs)
     losses = [float(v) for v in jax.device_get(dev_losses)]
     total_times = total_times[: len(losses)]
 

@@ -5,7 +5,7 @@ tree only ships the 0.1 sample), RGAT compact+multiply_first, bf16.
 The graph rides as a jit ARGUMENT (closure constants would ship the whole
 21M-edge graph inside the remote compile request — HTTP 413).
 
-Writes docs/FULLSCALE_r4.json.
+Writes docs/FULLSCALE_r5.json (+ docs/TRACE_FULL_r5.md with --trace).
 """
 
 import json
@@ -99,8 +99,32 @@ def main(scale=1.0, dtype=jnp.bfloat16):
         "graph_build_s": round(t_build, 1),
     }
     print(res, flush=True)
+    if "--trace" in sys.argv:
+        from het_tpu.utils.trace_analysis import format_table, op_table
+
+        rows, meta = op_table(lambda: chain_step(g, x), iters=2)
+        tot = meta["total_device_us_per_iter"]
+        lines = [
+            "# Full-scale (21.1M-edge mag) per-kernel device trace — round 5",
+            "",
+            g.describe(),
+            f"",
+            f"Total device time: {tot / 1e3:.1f} ms/step "
+            f"({g.num_edges / tot:.2f} Medges/s)",
+            "",
+            format_table(rows, top=30, total_us=tot),
+            "",
+            "Top-op HLO identities:",
+            "",
+        ]
+        for r in rows[:10]:
+            lines.append(f"* `{r['name']}`: {r['long_name'][:200]}")
+        with open(os.path.join(os.path.dirname(__file__), "..", "docs",
+                               "TRACE_FULL_r5.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print("wrote docs/TRACE_FULL_r5.md", flush=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "docs",
-                           "FULLSCALE_r4.json"), "w") as f:
+                           "FULLSCALE_r5.json"), "w") as f:
         json.dump(res, f, indent=1)
 
 

