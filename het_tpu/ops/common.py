@@ -73,7 +73,7 @@ def take_rows(x: Array, idx: Array) -> Array:
     return out.reshape((idx.shape[0],) + x.shape[1:])
 
 
-def _narrow_pad_lanes(x: Array):
+def _narrow_pad_lanes(x: Array, idx=None):
     """Lane count a row-gather source should be padded to, or 0 if wide
     enough.  XLA scalarizes gathers whose rows are under ~32 BYTES into
     per-element reads (round-4: a 1-lane f32 gather at 2 GB/s; round-5: a
@@ -87,8 +87,21 @@ def _narrow_pad_lanes(x: Array):
     # convert into the gather source (optimization_barrier lowers to a
     # plain copy on TPU and converts commute through copies), halving
     # the row bytes post-pad — so the pad anticipates a 2-byte dtype.
-    # Row gathers are row-dispatch-bound, so extra lanes cost nothing.
-    return 32 if x.shape[1] < 32 else 0
+    # Row gathers are row-dispatch-bound, so extra lanes cost nothing —
+    # AS LONG AS the padded gather output stays small enough for XLA to
+    # lay it out row-major: past ~16 GB-scale working sets (full-mag)
+    # layout assignment flips narrow per-edge arrays col-major to dodge
+    # the 128-lane tile padding, and a col-major gather runs at ~6 GB/s
+    # PER ELEMENT — padding then multiplies the damage (round-5
+    # full-scale trace: the padded er gather at 455 ms).  Cap the padded
+    # output at 256 MB.
+    if x.shape[1] >= 32:
+        return 0
+    if idx is not None:
+        rows = int(idx.shape[0]) if hasattr(idx, "shape") else 0
+        if rows * 32 * jnp.dtype(x.dtype).itemsize > 256 * 1024 * 1024:
+            return 0
+    return 32
 
 
 def take_rows_padded(x: Array, idx: Array) -> Array:
@@ -101,7 +114,7 @@ def take_rows_padded(x: Array, idx: Array) -> Array:
     gather this helper exists to avoid (round-5 trace: the d_er
     canon-to-row gather stayed at 6 GB/s / 801 us until pinned).  The
     barrier materializes only the source-scale padded copy."""
-    pad_c = _narrow_pad_lanes(x)
+    pad_c = _narrow_pad_lanes(x, idx)
     if not pad_c:
         return take_rows(x, idx)
     c = x.shape[1]
@@ -125,7 +138,7 @@ def gather_nodes(x: Array, idx: Array, *, pin_output: bool = False) -> Array:
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
-    pad_c = _narrow_pad_lanes(x)
+    pad_c = _narrow_pad_lanes(x, idx)
     if pad_c:
         c = x.shape[1]
         x = jnp.pad(x, ((0, 0), (0, pad_c - c)))

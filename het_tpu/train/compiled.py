@@ -171,3 +171,237 @@ class CompiledRGATModel:
                     )
                     h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
         return h
+
+
+# The HGT layer program: the reference's own DSL golden
+# (hrt/pyctor/examples/inter-op-dsl/hgt.inter-op) with the attention inner
+# product written explicitly (``inner_product``; the golden's
+# ``tmp1 * e.dst.ht_attn`` realizes to the same EdgeInnerProduct through
+# the binop realizer) and the ``relation_pri / sqrt(d_k)`` scaling folded
+# into W_att by the caller (scaling the bilinear form scales the score).
+HGT_LAYER_DSL = """
+for n in g.nodes():
+    n["hs"] = linear(V[n.ntype], n.feature)
+    n["hs_attn"] = linear(K[n.ntype], n.feature)
+    n["ht_attn"] = linear(Q[n.ntype], n.feature)
+
+for e in g.edges():
+    e["msg"] = e.src.hs * W_msg[e.etype]
+    e["raw_attn_tmp1"] = e.src.hs_attn * W_att[e.etype]
+    e["score"] = inner_product(e.raw_attn_tmp1, e.dst.ht_attn)
+    e["raw_attn"] = exp(e.score)
+
+for n in g.dst_nodes():
+    n["attn_sum"] = 0.0
+    for e in n.incoming_edges():
+        n["attn_sum"] += e.raw_attn
+for e in g.edges():
+    e["attn"] = e.raw_attn / e.dst.attn_sum
+
+for n in g.dst_nodes():
+    n["output"] = 0.0
+    for e in n.incoming_edges():
+        n["output"] += e.attn * e.msg
+"""
+
+# The RGCN layer program: the edge-conv core of the reference golden
+# (hrt/pyctor/examples/inter-op-dsl/rgcn.inter-op); the golden's W0
+# self-loop term and tanh stay outside the compiled core, exactly where
+# the hand-written RGCNLayer keeps self_loop/activation (models/rgcn.py).
+RGCN_LAYER_DSL = """
+for e in g.edges():
+    e["m"] = e.src.feature * Wr[e.etype]
+    e["msg"] = e.norm_factor * e.m
+
+for n in g.dst_nodes():
+    n["output"] = 0.0
+    for e in n.incoming_edges():
+        n["output"] += e.msg
+"""
+
+
+def _compile_layer_dsl(dsl, *, compact=False, multiply_first=False,
+                       shape_hints=None):
+    """Shared pipeline: parse -> passes -> flag rewrites -> fusion ->
+    Op-Spec schedules -> executable closure."""
+    from ..compiler import fuse_edge_softmax, parse_dsl, schedule_program
+    from ..compiler.fuse import fuse_compact_agg, fuse_compact_gat
+    from ..compiler.lower import compile_program
+    from ..compiler.passes import run_default
+    from ..compiler.rewrites import (
+        compact_materialization,
+        reorder_linear_operators,
+    )
+
+    prog = run_default(parse_dsl(dsl), shape_hints=shape_hints)
+    if multiply_first:
+        reorder_linear_operators(prog)
+        run_default(prog, shape_hints=shape_hints)
+    if compact:
+        compact_materialization(prog)
+        run_default(prog, shape_hints=shape_hints)
+    fuse_edge_softmax(prog)
+    run_default(prog, shape_hints=shape_hints)
+    if compact:
+        fuse_compact_gat(prog)
+        fuse_compact_agg(prog)
+        run_default(prog, shape_hints=shape_hints)
+    return compile_program(schedule_program(prog)), prog
+
+
+class CompiledHGTModel:
+    """Multi-layer HGT executing each layer's attention core through the
+    compiled DSL pipeline (the reference's hgt.inter-op program).  Mirrors
+    ``HGTModel`` (init/apply) at H=1: per-ntype k/q/v projections, typed
+    bilinear attention scaled by relation_pri/sqrt(d_k) (folded into
+    W_att), typed softmax, message aggregation — then the skip-gated
+    per-ntype output projection and dropout outside the compiled core,
+    exactly where the reference keeps them in torch."""
+
+    def __init__(
+        self,
+        in_dim: int,
+        hidden: int,
+        num_classes: int,
+        num_ntypes: int,
+        num_rels: int,
+        num_layers: int = 1,
+        compact: bool = False,
+        dropout: float = 0.2,
+        param_dtype=jnp.float32,
+    ):
+        self.dims = [in_dim] + [hidden] * (num_layers - 1) + [num_classes]
+        self.num_ntypes = num_ntypes
+        self.num_rels = num_rels
+        self.num_layers = num_layers
+        self.dropout = dropout
+        self.param_dtype = param_dtype
+        self.layer_fn, self.program = _compile_layer_dsl(
+            HGT_LAYER_DSL, compact=compact
+        )
+
+    def init(self, key, g: HeteroGraph, x: Array):
+        del g, x
+        import jax.nn.initializers as I
+
+        init = I.glorot_uniform()
+        params = {}
+        T, R = self.num_ntypes, self.num_rels
+        for i in range(self.num_layers):
+            key, kk, kq, kv, ka, kt, km = jax.random.split(key, 7)
+            fi, fo = self.dims[i], self.dims[i + 1]
+            params[f"layer_{i}"] = {
+                "k_w": init(kk, (T, fi, fo), self.param_dtype),
+                "q_w": init(kq, (T, fi, fo), self.param_dtype),
+                "v_w": init(kv, (T, fi, fo), self.param_dtype),
+                "a_w": init(ka, (T, fo, fo), self.param_dtype),
+                "rel_att": init(kt, (R, fo, fo), self.param_dtype),
+                "rel_msg": init(km, (R, fo, fo), self.param_dtype),
+                "rel_pri": jnp.ones((R,), self.param_dtype),
+                "skip": jnp.ones((T,), self.param_dtype),
+            }
+        return params
+
+    def apply(self, params, g: HeteroGraph, x: Array, *,
+              deterministic: bool = True, rngs=None) -> Array:
+        import math
+
+        from .. import ops
+
+        h = x
+        key = (rngs or {}).get("dropout")
+        for i in range(self.num_layers):
+            p = params[f"layer_{i}"]
+            d_k = self.dims[i + 1]
+            mu = p["rel_pri"] / math.sqrt(d_k)  # (R,)
+            out = self.layer_fn(
+                g,
+                {"feature": h},
+                {
+                    "V": p["v_w"],
+                    "K": p["k_w"],
+                    "Q": p["q_w"],
+                    "W_msg": p["rel_msg"],
+                    # mu folded into the bilinear attention form; the
+                    # hand-written layer computes score = (q W_att) . k,
+                    # the DSL program (k W_att') . q — W_att' = W_att^T
+                    "W_att": p["rel_att"].transpose(0, 2, 1)
+                    * mu[:, None, None],
+                },
+            )["output"]
+            gated_a = jax.nn.sigmoid(p["skip"])[:, None, None] * p["a_w"]
+            h = ops.ntype_linear(g, out, gated_a[:, None])[:, 0, :]
+            if not deterministic and self.dropout > 0 and key is not None:
+                key, k = jax.random.split(key)
+                keep = jax.random.bernoulli(k, 1.0 - self.dropout, h.shape)
+                h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
+        return h
+
+
+class CompiledRGCNModel:
+    """Two-layer entity-classification RGCN through the compiled DSL
+    pipeline (the reference's rgcn.inter-op edge-conv core).  Mirrors
+    ``RGCNModel(featureless=False)``: relu + dropout after layer 1, bias
+    on both layers, ``ops.rgcn_norm`` passed to the program as the
+    ``norm_factor`` edge input."""
+
+    def __init__(
+        self,
+        in_feat: int,
+        hidden: int,
+        num_classes: int,
+        num_rels: int,
+        num_layers: int = 2,
+        compact: bool = False,
+        dropout: float = 0.0,
+        param_dtype=jnp.float32,
+    ):
+        self.dims = [in_feat] + [hidden] * (num_layers - 1) + [num_classes]
+        self.num_rels = num_rels
+        self.num_layers = num_layers
+        self.dropout = dropout
+        self.param_dtype = param_dtype
+        self.layer_fn, self.program = _compile_layer_dsl(
+            RGCN_LAYER_DSL, compact=compact,
+            shape_hints={"norm_factor": "scalar"},
+        )
+
+    def init(self, key, g: HeteroGraph, x: Array):
+        del g, x
+        import jax.nn.initializers as I
+
+        init = I.glorot_uniform()
+        params = {}
+        for i in range(self.num_layers):
+            key, kw = jax.random.split(key)
+            fi, fo = self.dims[i], self.dims[i + 1]
+            params[f"layer_{i}"] = {
+                "W": init(kw, (self.num_rels, fi, fo), self.param_dtype),
+                "bias": jnp.zeros((fo,), self.param_dtype),
+            }
+        return params
+
+    def apply(self, params, g: HeteroGraph, x: Array, *,
+              deterministic: bool = True, rngs=None) -> Array:
+        from .. import ops
+
+        norm = ops.rgcn_norm(g)
+        h = x
+        key = (rngs or {}).get("dropout")
+        for i in range(self.num_layers):
+            p = params[f"layer_{i}"]
+            out = self.layer_fn(
+                g,
+                {"feature": h, "norm_factor": norm},
+                {"Wr": p["W"]},
+            )["output"]
+            h = out + p["bias"]
+            if i < self.num_layers - 1:
+                h = jax.nn.relu(h)
+                if not deterministic and self.dropout > 0 and key is not None:
+                    key, k = jax.random.split(key)
+                    keep = jax.random.bernoulli(
+                        k, 1.0 - self.dropout, h.shape
+                    )
+                    h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
+        return h

@@ -49,22 +49,53 @@ def build_model(cfg: TrainConfig, data: Dataset):
     # state; the master-weight form is the standard TPU recipe.
     dt = jnp.float32
     if cfg.use_compiler:
-        from .compiled import CompiledRGATModel
-
-        assert cfg.model.upper() == "RGAT", (
-            "--use_compiler drives the RGAT family (the reference's own "
-            "rgat.inter-op program); other families are hand-written"
+        # each family trains through its own compiled Inter-Op DSL
+        # program (the reference ships rgat/hgt/rgcn.inter-op goldens;
+        # train/compiled.py carries their frontend-dialect forms)
+        from .compiled import (
+            CompiledHGTModel,
+            CompiledRGATModel,
+            CompiledRGCNModel,
         )
-        return CompiledRGATModel(
-            in_feat=cfg.n_infeat,
-            hidden=cfg.hidden,
-            num_classes=ncls,
-            num_rels=g.num_rels,
-            num_layers=max(cfg.num_layers, 1),
-            compact=cfg.compact,
-            multiply_first=cfg.multiply_first,
-            dropout=cfg.dropout,
-            param_dtype=dt,
+
+        fam = cfg.model.upper()
+        if fam == "RGAT":
+            return CompiledRGATModel(
+                in_feat=cfg.n_infeat,
+                hidden=cfg.hidden,
+                num_classes=ncls,
+                num_rels=g.num_rels,
+                num_layers=max(cfg.num_layers, 1),
+                compact=cfg.compact,
+                multiply_first=cfg.multiply_first,
+                dropout=cfg.dropout,
+                param_dtype=dt,
+            )
+        if fam == "HGT":
+            return CompiledHGTModel(
+                in_dim=cfg.n_infeat,
+                hidden=cfg.hidden,
+                num_classes=ncls,
+                num_ntypes=g.num_ntypes,
+                num_rels=g.num_rels,
+                num_layers=max(cfg.num_layers, 1),
+                compact=cfg.compact,
+                dropout=cfg.dropout,
+                param_dtype=dt,
+            )
+        if fam == "RGCN":
+            return CompiledRGCNModel(
+                in_feat=cfg.n_infeat,
+                hidden=cfg.hidden,
+                num_classes=ncls,
+                num_rels=g.num_rels,
+                num_layers=max(cfg.num_layers, 2),
+                compact=cfg.compact,
+                dropout=cfg.dropout,
+                param_dtype=dt,
+            )
+        raise ValueError(
+            f"--use_compiler supports RGAT/HGT/RGCN, got {cfg.model}"
         )
     if cfg.model.upper() == "RGAT":
         return RGATModel(
