@@ -26,19 +26,37 @@ from het_tpu.models import RGATModel
 from het_tpu.utils.timing import force
 
 
-def main(scale=1.0, dtype=jnp.bfloat16):
+def main(scale=1.0, dtype=jnp.bfloat16, chunks=0):
     t0 = time.time()
-    data = _synthetic("mag", scale=scale, num_classes=8, seed=0, tile=128)
+    # the chunked path rebuilds per-shard graphs itself; skip the
+    # monolithic compact build there (it is the expensive part)
+    data = _synthetic("mag", scale=scale, num_classes=8, seed=0, tile=128,
+                      build_compact=(chunks == 0))
     g = data.graph
     t_build = time.time() - t0
     print(g.describe(), f"build {t_build:.0f}s", flush=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (g.num_nodes, 64), dtype)
     labels = jnp.asarray(data.labels) % 8
-    model = RGATModel(
-        in_feat=64, hidden=64, num_classes=8, num_rels=g.num_rels,
-        num_heads=4, num_layers=1, dropout=0.0, compact=True,
-        multiply_first=True, stable_softmax="clip",
-    )
+    if chunks:
+        # dst-range chunked execution (train/chunked.py): keeps every
+        # per-edge buffer at sample scale, where the row-major gather
+        # regime holds (docs/TRACE_FULL_r5.md)
+        from het_tpu.train.chunked import ChunkedRGATModel
+
+        model = ChunkedRGATModel(
+            in_feat=64, hidden=64, num_classes=8, num_rels=g.num_rels,
+            num_heads=4, num_layers=1, compact=True, multiply_first=True,
+            stable_softmax="clip", n_chunks=chunks,
+        )
+        model.build(g, tile=128)
+        t_build = time.time() - t0
+        print(f"chunk build total {t_build:.0f}s", flush=True)
+    else:
+        model = RGATModel(
+            in_feat=64, hidden=64, num_classes=8, num_rels=g.num_rels,
+            num_heads=4, num_layers=1, dropout=0.0, compact=True,
+            multiply_first=True, stable_softmax="clip",
+        )
     ops.set_backend("xla")
     params = model.init(
         jax.random.PRNGKey(1), g, jnp.zeros((g.num_nodes, 64), dtype)
@@ -68,8 +86,9 @@ def main(scale=1.0, dtype=jnp.bfloat16):
 
     # the graph rides as a jit ARGUMENT; put it on device ONCE — numpy
     # leaves would re-upload the whole graph through the tunnel per call
-    # (measured: 1.26M edges/s flat at every scale, pure transfer-bound)
-    g = jax.device_put(g)
+    # (measured: 1.26M edges/s flat at every scale, pure transfer-bound).
+    # In chunked mode the argument is the stacked shard pytree.
+    g = jax.device_put(model.sg if chunks else g)
     try:
         xc = chain_step(g, x)
         force(xc)  # compile + settle
@@ -91,6 +110,7 @@ def main(scale=1.0, dtype=jnp.bfloat16):
         ops.set_backend("xla")
     res = {
         "scale": scale,
+        "chunks": chunks,
         "edges": g.num_edges,
         "nodes": g.num_nodes,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
@@ -129,4 +149,9 @@ def main(scale=1.0, dtype=jnp.bfloat16):
 
 
 if __name__ == "__main__":
-    main(scale=float(sys.argv[1]) if len(sys.argv) > 1 else 1.0)
+    ch = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--chunks="):
+            ch = int(a.split("=")[1])
+    main(scale=float(sys.argv[1]) if len(sys.argv) > 1
+         and not sys.argv[1].startswith("--") else 1.0, chunks=ch)

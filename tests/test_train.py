@@ -332,3 +332,52 @@ def test_real_label_shards(tmp_path):
     )
     m = train(cfg, data)
     assert np.isfinite(m["loss_list"]).all()
+
+
+def test_chunked_execution_parity():
+    """Single-chip chunked (dst-range lax.map) execution reproduces the
+    monolithic model exactly — forward and weight grads (train/chunked.py:
+    the full-scale capacity path; canonical order is dst-sorted so edge
+    softmax chunks exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from het_tpu.graph import random_heterograph
+    from het_tpu.models import RGATModel
+    from het_tpu.train.chunked import ChunkedRGATModel
+
+    g = random_heterograph(
+        num_nodes=96, num_edges=500, num_rels=3, seed=5, tile=8,
+        build_compact=True,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((96, 6), dtype=np.float32)
+    )
+    cm = ChunkedRGATModel(
+        in_feat=6, hidden=8, num_classes=4, num_rels=3, num_heads=2,
+        num_layers=1, compact=True, multiply_first=True, n_chunks=2,
+    )
+    cm.build(g, tile=8)
+    params = cm.init(jax.random.PRNGKey(0), g, x)
+    out_c = cm.apply(params, cm.sg, x)
+
+    hw = RGATModel(
+        in_feat=6, hidden=8, num_classes=4, num_rels=3, num_heads=2,
+        num_layers=1, compact=True, multiply_first=True, dropout=0.0,
+        stable_softmax="clip",
+    )
+    hw_params = {
+        "params": {"RGATLayer_0": params[0]["params"]}
+    }
+    out_h = hw.apply(hw_params, g, x)
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.asarray(out_h), rtol=1e-5, atol=1e-6
+    )
+
+    gc = jax.grad(lambda p: jnp.sum(cm.apply(p, cm.sg, x) ** 2))(params)
+    gh = jax.grad(lambda p: jnp.sum(hw.apply(p, g, x) ** 2))(hw_params)
+    np.testing.assert_allclose(
+        np.asarray(gc[0]["params"]["conv_weights"]),
+        np.asarray(gh["params"]["RGATLayer_0"]["conv_weights"]),
+        rtol=1e-4, atol=1e-6,
+    )
