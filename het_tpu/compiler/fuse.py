@@ -247,3 +247,80 @@ def fuse_compact_gat(prog: Program) -> int:
             rep.get(id(o), o) for o in prog.ops if id(o) not in remove
         ]
     return fused
+
+
+OP_DEFS.setdefault("WeightPackColumn", OpDef(("vec", "mat"), None))
+OP_DEFS.setdefault("SplitFirstColumn", OpDef(("input",), None))
+
+
+def fuse_packed_projection(prog: Program) -> int:
+    """Multi-output GEMM fusion: fold a projected-feature inner product
+    into the projection matmul's output columns —
+
+        zc = CompactDense(x, W)           # (U, D)
+        el = EdgeInnerProduct(zc, a)      # (U,)   compact SDDMM
+        ->
+        wa   = WeightDense(W, a)          # (R, K)   W @ a per relation
+        wcat = WeightPackColumn(wa, W)    # (R, K, 1+D)
+        pk   = CompactDense(x, wcat)      # (U, 1+D)
+        el, zc = SplitFirstColumn(pk)
+
+    — ONE segment matmul + row gather instead of two passes over the
+    compact rows.  This is exactly the hand-written models' packed
+    ``w_cat`` projection (models/rgat.py multiply_first path), identified
+    in round 4 as the remaining 16% gap between the compiled
+    compact+reordered path and the hand-written one."""
+    producers = prog.producers()
+    fused = 0
+    remove: set = set()
+    insert_after: List[Tuple[int, List[Op]]] = []
+
+    for pos, ip in enumerate(prog.ops):
+        if ip.kind != "EdgeInnerProduct" or not ip.attrs.get("compact"):
+            continue
+        zc_var = ip.inputs["left"]
+        a_var = ip.inputs["right"]
+        if not (a_var.is_weight and a_var.kind == "EDGETYPE"):
+            continue
+        cd = producers.get((zc_var.kind, zc_var.name))
+        if (
+            cd is None
+            or cd.kind != "CompactDense"
+            or cd.attrs.get("side", "src") != ip.attrs.get("side", "src")
+        ):
+            continue
+        w_var = cd.inputs["weight"]
+        if not (w_var.is_weight and w_var.kind == "EDGETYPE"):
+            continue
+        el_var = ip.outputs[0]
+        wa = Var.weight(f"{w_var.name}_{a_var.name}_packfused", "EDGETYPE")
+        wcat = Var.weight(f"{w_var.name}_packcat_{a_var.name}", "EDGETYPE")
+        pk = Var.data(zc_var.kind, f"{zc_var.name}_packed")
+        new_ops = [
+            Op("WeightDense", {"left": w_var, "right": a_var}, [wa]),
+            Op("WeightPackColumn", {"vec": wa, "mat": w_var}, [wcat]),
+            Op(
+                "CompactDense",
+                {"input": cd.inputs["input"], "weight": wcat},
+                [pk],
+                dict(cd.attrs),
+            ),
+            Op("SplitFirstColumn", {"input": pk}, [el_var, zc_var]),
+        ]
+        insert_after.append((pos, new_ops))
+        remove.add(id(cd))
+        remove.add(id(ip))
+        fused += 1
+
+    if fused:
+        out_ops: List[Op] = []
+        ins = dict()
+        for pos, new_ops in insert_after:
+            ins[pos] = new_ops
+        for pos, o in enumerate(prog.ops):
+            if pos in ins:
+                out_ops.extend(ins[pos])
+            if id(o) not in remove:
+                out_ops.append(o)
+        prog.ops = out_ops
+    return fused

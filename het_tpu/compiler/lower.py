@@ -361,6 +361,18 @@ def _exec_op(env: _Env, op: Op) -> None:
         )
         return
 
+    if k == "WeightPackColumn":
+        vec, _ = env.lookup(op.inputs["vec"])
+        mat, _ = env.lookup(op.inputs["mat"])
+        env.set(out, jnp.concatenate([vec[..., :, None], mat], axis=-1))
+        return
+
+    if k == "SplitFirstColumn":
+        val, _ = env.lookup(op.inputs["input"])
+        env.set(op.outputs[0], val[..., 0])
+        env.set(op.outputs[1], val[..., 1:])
+        return
+
     if k == "ExpandCompact":
         val, _ = env.lookup(op.inputs["input"])
         side = op.attrs.get("side", "src")

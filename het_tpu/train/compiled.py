@@ -92,10 +92,17 @@ def compile_rgat_layer(
             # full compact-GAT motif first (logits AND messages on
             # compact rows — the hand-written models' exact form), then
             # the message-only sink as fallback
-            from ..compiler.fuse import fuse_compact_gat
+            from ..compiler.fuse import fuse_compact_gat, \
+                fuse_packed_projection
 
             fuse_compact_gat(prog)
             fuse_compact_agg(prog)
+            if multiply_first:
+                # multi-output GEMM fusion: fold the el inner product
+                # into the feature projection's output columns (the
+                # hand-written packed w_cat form — round-4's identified
+                # 16% compiled-vs-hand gap)
+                fuse_packed_projection(prog)
             run_default(prog)
     return compile_program(schedule_program(prog)), prog
 

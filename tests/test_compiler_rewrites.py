@@ -131,3 +131,24 @@ def test_fusion_pass():
     np.testing.assert_allclose(
         np.asarray(base), np.asarray(got), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fuse_packed_projection_structure():
+    """The multi-output GEMM fusion turns the compact+reordered RGAT
+    program into the hand-written packed shape: ONE CompactDense (with a
+    column-packed weight) instead of a projection + separate el inner
+    product (round-4's identified compiled-vs-hand 16% gap)."""
+    from het_tpu.train.compiled import compile_rgat_layer
+
+    _, prog = compile_rgat_layer(compact=True, multiply_first=True)
+    kinds = [op.kind for op in prog.ops]
+    assert kinds.count("CompactDense") == 1
+    assert "WeightPackColumn" in kinds
+    assert "SplitFirstColumn" in kinds
+    # no src-side compact SDDMM remains (el rides the packed projection)
+    src_ips = [
+        op for op in prog.ops
+        if op.kind == "EdgeInnerProduct"
+        and op.attrs.get("side", "src") == "src"
+    ]
+    assert not src_ips
