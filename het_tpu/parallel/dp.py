@@ -40,6 +40,33 @@ def make_mesh(n_devices: int = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n_devices]), (axis,))
 
 
+def make_mesh2(
+    n_hosts: int, chips_per_host: int, axes=("host", "chip")
+) -> Mesh:
+    """Two-level ``(host, chip)`` mesh — the multi-host slice layout
+    (BASELINE.json north star): the minor ``chip`` axis maps to ICI
+    within a host, the major ``host`` axis to DCN between hosts.  Shard
+    p of a partitioned graph lives at (p // C, p % C), so contiguous
+    dst-ranges — which share the most boundary with their neighbors —
+    stay on the SAME host (DCN-aware placement falls out of the
+    locality-preserving flat order).  Every collective in this module
+    accepts the axis pair (``axis=('host', 'chip')``): jax flattens the
+    tuple host-major, matching the partition index, and XLA routes the
+    intra-host sub-exchange over ICI and only the cross-host blocks over
+    DCN."""
+    devs = jax.devices()
+    n = n_hosts * chips_per_host
+    assert len(devs) >= n, (
+        f"need {n} devices, have {len(devs)} "
+        "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for tests)"
+    )
+    import numpy as np
+
+    return Mesh(
+        np.array(devs[:n]).reshape(n_hosts, chips_per_host), tuple(axes)
+    )
+
+
 def shard_stacked(tree, mesh: Mesh, axis: str = "dp"):
     """Place a stacked (leading device axis) pytree onto the mesh."""
     sharding = NamedSharding(mesh, P(axis))
@@ -80,19 +107,37 @@ def halo_exchange(
 
 
 def halo_bytes(g_local: HeteroGraph, n_parts: int, feat_width: int,
-               itemsize: int = 4) -> dict:
-    """Per-device bytes a layer's source exchange moves over ICI, for the
-    boundary all_to_all vs the all-gather fallback (dryrun reporting)."""
+               itemsize: int = 4, chips_per_host: int = 0) -> dict:
+    """Per-device bytes a layer's source exchange moves, for the boundary
+    all_to_all vs the all-gather fallback (dryrun reporting).
+
+    ``chips_per_host`` > 0 additionally splits the boundary traffic by
+    LINK CLASS under the two-level ``(host, chip)`` mesh (make_mesh2):
+    blocks exchanged with same-host peers ride ICI, the rest cross DCN —
+    the quantity a DCN-aware partitioning has to minimize."""
     gather = (n_parts - 1) * g_local.num_nodes * feat_width * itemsize
     if g_local.halo_send_idx is None:
-        return {"mode": "gather", "ici_bytes": gather,
-                "gather_bytes": gather}
+        out = {"mode": "gather", "ici_bytes": gather,
+               "gather_bytes": gather}
+        if chips_per_host:
+            c = chips_per_host
+            out["ici_bytes"] = (
+                (c - 1) * g_local.num_nodes * feat_width * itemsize
+            )
+            out["dcn_bytes"] = gather - out["ici_bytes"]
+        return out
     b_off = int(g_local.halo_send_idx.shape[-1])
-    return {
+    row = b_off * feat_width * itemsize
+    out = {
         "mode": "boundary",
-        "ici_bytes": (n_parts - 1) * b_off * feat_width * itemsize,
+        "ici_bytes": (n_parts - 1) * row,
         "gather_bytes": gather,
     }
+    if chips_per_host:
+        c = chips_per_host
+        out["ici_bytes"] = (c - 1) * row
+        out["dcn_bytes"] = (n_parts - c) * row
+    return out
 
 
 def dp_apply(

@@ -111,11 +111,11 @@ def main(scale=1.0, dtype=jnp.bfloat16, chunks=0):
     res = {
         "scale": scale,
         "chunks": chunks,
-        "edges": g.num_edges,
-        "nodes": g.num_nodes,
+        "edges": data.graph.num_edges,
+        "nodes": data.graph.num_nodes,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "step_ms": round(t, 2),
-        "Medges_per_s": round(g.num_edges / t / 1e3, 2),
+        "Medges_per_s": round(data.graph.num_edges / t / 1e3, 2),
         "graph_build_s": round(t_build, 1),
     }
     print(res, flush=True)
