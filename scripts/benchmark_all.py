@@ -17,15 +17,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from het_tpu.train import TrainConfig, train  # noqa: E402
 
 FULL_GRID = {
-    "model": ["RGAT", "HGT", "RGCN"],
+    "model": ["RGAT", "HGT", "RGCN", "GAT"],
     "dataset": ["aifb", "mutag", "bgs", "mag", "fb15k"],
     "n_infeat": [32, 64, 128],
+    "heads": [1, 4],
+    "flags": [(False, False), (True, False), (True, True)],
+}
+# the round-5 standard grid (VERDICT r4 item 9): >= 40 cases across all
+# four families x dims x heads x flags at mag/aifb scale
+MID_GRID = {
+    "model": ["RGAT", "HGT", "RGCN", "GAT"],
+    "dataset": ["aifb", "mag"],
+    "n_infeat": [32, 64, 128],
+    "heads": [1, 4],
     "flags": [(False, False), (True, False), (True, True)],
 }
 QUICK_GRID = {
     "model": ["RGAT", "HGT", "RGCN"],
     "dataset": ["aifb", "mag"],
     "n_infeat": [64],
+    "heads": [4],
     "flags": [(False, False), (True, True)],
 }
 
@@ -33,25 +44,35 @@ QUICK_GRID = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--grid", default=None, choices=["quick", "mid", "full"])
     ap.add_argument("--out", default="sweep_results.json")
     ap.add_argument("--dataset_scale", type=float, default=0.1)
     ap.add_argument("--num_epochs", type=int, default=5)
     ap.add_argument("--backend", default="pallas")
     args = ap.parse_args()
-    grid = QUICK_GRID if args.quick else FULL_GRID
+    grid = {"quick": QUICK_GRID, "mid": MID_GRID, "full": FULL_GRID}[
+        args.grid or ("quick" if args.quick else "full")
+    ]
 
-    for model, ds, dim, (compact, mult) in itertools.product(
-        grid["model"], grid["dataset"], grid["n_infeat"], grid["flags"]
+    for model, ds, dim, heads, (compact, mult) in itertools.product(
+        grid["model"], grid["dataset"], grid["n_infeat"], grid["heads"],
+        grid["flags"]
     ):
         if mult and model == "RGCN":
             continue
+        if model == "GAT" and (compact or mult):
+            continue  # homogeneous GAT has no relational flags
+        if model == "RGCN" and heads != grid["heads"][0]:
+            continue  # RGCN has no head axis
+        if model == "HGT" and heads != grid["heads"][-1]:
+            continue  # keep the HGT axis at the standard head count
         cfg = TrainConfig(
             model=model,
             dataset=ds,
             dataset_scale=args.dataset_scale,
             n_infeat=dim,
             hidden=dim,
-            num_heads=4 if model != "RGCN" else 1,
+            num_heads=heads if model != "RGCN" else 1,
             num_layers=1,
             num_epochs=args.num_epochs,
             warmup_epochs=2,
@@ -60,7 +81,7 @@ def main():
             dropout=0.0,
             backend=args.backend,
         )
-        tag = f"{model}/{ds}/d{dim}/c{int(compact)}m{int(mult)}"
+        tag = f"{model}/{ds}/d{dim}/h{heads}/c{int(compact)}m{int(mult)}"
         try:
             m = train(cfg)
             row = {
