@@ -43,7 +43,10 @@ def main() -> int:
     from het_tpu import ops
     from het_tpu.data import load_dataset
     from het_tpu.models import RGATModel
-    from het_tpu.utils.profiling import rgat_compact_step_roofline_ms
+    from het_tpu.utils.profiling import (
+        rgat_compact_step_roofline_ms,
+        rgat_compact_step_traffic_ms,
+    )
     from het_tpu.utils.timing import op_time_ms
 
     heads, f_in, hidden = 4, 64, 64
@@ -158,6 +161,12 @@ def main() -> int:
     roof_bf16 = rgat_compact_step_roofline_ms(
         g, f_in, heads, 8 // heads, 8, itemsize=2
     )
+    traf_f32 = rgat_compact_step_traffic_ms(
+        g, f_in, heads, 8 // heads, 8, itemsize=4
+    )
+    traf_bf16 = rgat_compact_step_traffic_ms(
+        g, f_in, heads, 8 // heads, 8, itemsize=2
+    )
 
     def ratio(a, b):
         return round(a / b, 3) if (a is not None and b is not None) else None
@@ -183,12 +192,25 @@ def main() -> int:
                     "vs_baseline_f32": ratio(t_xla_opt, t_opt),
                     "vs_baseline_bf16": ratio(t_xla_bf16, t_bf16),
                     "vs_xla_plain_best": ratio(t_xla_plain, t_best),
-                    "pct_of_roofline_f32": (
+                    # two denominators, both published (VERDICT r4):
+                    # _strict assumes in-kernel gathers (no per-edge
+                    # materialization — no implementation can exceed it);
+                    # _traffic is the bound for the shipped materializing
+                    # kernel design (fold-packed payloads + one permute)
+                    "pct_of_roofline_strict_f32": (
                         round(100 * roof_f32 / t_opt, 1)
                         if t_opt is not None else None
                     ),
-                    "pct_of_roofline_bf16": (
+                    "pct_of_roofline_strict_bf16": (
                         round(100 * roof_bf16 / t_bf16, 1)
+                        if t_bf16 is not None else None
+                    ),
+                    "pct_of_traffic_bound_f32": (
+                        round(100 * traf_f32 / t_opt, 1)
+                        if t_opt is not None else None
+                    ),
+                    "pct_of_traffic_bound_bf16": (
+                        round(100 * traf_bf16 / t_bf16, 1)
                         if t_bf16 is not None else None
                     ),
                     "num_edges": g.num_edges,

@@ -174,8 +174,14 @@ class ChunkedRGATModel:
                 # sample chunk run fell to 22.9 Medges/s vs 54
                 # monolithic), and no remat is needed — chunking here is
                 # about LAYOUT, not memory.
+                # jax.checkpoint per shard: without it the straightline
+                # form keeps all K shards' row-major tile-padded
+                # residuals live into the backward (bf16 (E_k, 32)
+                # buffers pad 4-32x) and OOMs at full mag; with it the
+                # backward holds one shard's working set at a time
+                ck = jax.checkpoint(per_shard)
                 h = jnp.stack([
-                    per_shard(jax.tree.map(lambda a, k=k: a[k], (sg, x_dst)))
+                    ck(jax.tree.map(lambda a, k=k: a[k], (sg, x_dst)))
                     for k in range(K)
                 ])
             else:

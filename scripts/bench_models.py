@@ -1,6 +1,6 @@
 """Chained-slope fwd+bwd benchmark for every model family (not just the
 RGAT headline): RGAT / HGT / RGCN / GAT on the real ogbn-mag sample,
-pallas backend, flags on and off.  Writes docs/MODELS_r4.json
+pallas backend, flags on and off.  Writes docs/MODELS_r5.json
 (bf16 mixed-precision columns + the compact-duplication factor the
 compact flag's cost model keys on).
 
@@ -108,7 +108,7 @@ def main():
         out[name]["bf16_Medges_per_s"] = round(g.num_edges / t16 / 1e3, 2)
         print(name, out[name], flush=True)
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "MODELS_r4.json")
+                        "MODELS_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 

@@ -5,7 +5,7 @@ the TPU counterpart of the reference's nsys/ncu sheets
 
 Captures a jax.profiler trace of each family's fwd+bwd step on the real
 device and writes per-kernel tables (time, fw/bw phase, XLA category,
-effective GB/s) to docs/TRACE_r4.md.
+effective GB/s) to docs/TRACE_r5.md.
 
 Usage: python scripts/trace_breakdown.py [RGAT HGT ...]
 """
@@ -89,7 +89,7 @@ def main():
         print(sections[-1], flush=True)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "docs",
-                           "TRACE_r4.md"), "w") as f:
+                           "TRACE_r5.md"), "w") as f:
         f.write(
             "# Per-kernel device-trace breakdown (round 4)\n\n"
             f"Graph: {g.describe()}; H={HEADS}, f_in={F_IN}; f32; pallas "
@@ -97,7 +97,7 @@ def main():
             "over 3 traced steps (utils/trace_analysis.py).\n\n"
             + "\n\n".join(sections) + "\n"
         )
-    print("wrote docs/TRACE_r4.md")
+    print("wrote docs/TRACE_r5.md")
 
 
 if __name__ == "__main__":
