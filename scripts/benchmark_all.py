@@ -28,7 +28,7 @@ FULL_GRID = {
 MID_GRID = {
     "model": ["RGAT", "HGT", "RGCN", "GAT"],
     "dataset": ["aifb", "mag"],
-    "n_infeat": [32, 64, 128],
+    "n_infeat": [64, 128],
     "heads": [1, 4],
     "flags": [(False, False), (True, False), (True, True)],
 }

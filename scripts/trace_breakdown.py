@@ -91,7 +91,7 @@ def main():
     with open(os.path.join(os.path.dirname(__file__), "..", "docs",
                            "TRACE_r5.md"), "w") as f:
         f.write(
-            "# Per-kernel device-trace breakdown (round 4)\n\n"
+            "# Per-kernel device-trace breakdown (round 5)\n\n"
             f"Graph: {g.describe()}; H={HEADS}, f_in={F_IN}; f32; pallas "
             "backend; jax.profiler device events aggregated per HLO op "
             "over 3 traced steps (utils/trace_analysis.py).\n\n"
