@@ -95,13 +95,20 @@ def _narrow_pad_lanes(x: Array, idx=None):
     # PER ELEMENT — padding then multiplies the damage (round-5
     # full-scale trace: the padded er gather at 455 ms).  Cap the padded
     # output at 256 MB.
-    if x.shape[1] >= 32:
+    # 64 bytes by dtype: f32 -> 16 lanes, bf16 -> 32.  (An earlier
+    # uniform 32-lane rule anticipated convert-hoisting on f32 sources,
+    # but it also made every consumer of a padded f32 gather read 4x the
+    # real bytes — the GAT per-edge inner products measured ~1.9 ms of
+    # that; the convert-hoisting case it protected was stall-bound
+    # anyway.)
+    want = max(8, 64 // jnp.dtype(x.dtype).itemsize)
+    if x.shape[1] >= want:
         return 0
     if idx is not None:
         rows = int(idx.shape[0]) if hasattr(idx, "shape") else 0
-        if rows * 32 * jnp.dtype(x.dtype).itemsize > 256 * 1024 * 1024:
+        if rows * want * jnp.dtype(x.dtype).itemsize > 256 * 1024 * 1024:
             return 0
-    return 32
+    return want
 
 
 def take_rows_padded(x: Array, idx: Array) -> Array:
